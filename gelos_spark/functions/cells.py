@@ -1,0 +1,278 @@
+"""Hierarchical quadtree cell index over WGS84 lon/lat — pure NumPy.
+
+The engine's "geo -> code" primitive (the role the reference's
+LocationEncoder plays for model inputs, models/prithvi_eo_v2.py:
+203-229): a deterministic, vectorized mapping from (lon, lat) to a
+64-bit cell id at a resolution ``res``. Design per SURVEY.md §7.0: an
+S2/H3-style hierarchical index implemented as a Morton (Z-order)
+quadtree on the equirectangular lon/lat grid.
+
+  - res r splits the world into 2^r x 2^r cells
+    (x over lon [-180, 180), y over lat [-90, 90]).
+  - cell id  = bit-interleave(x, y)  (x in even bits), 2r bits total.
+  - parent   = id >> 2      -- trivial prefix hierarchy, so a join on
+    "covering cell at res R" is `child_id >> 2*(res-R)` — a pure
+    column expression, no UDF, usable as a partition/bucket key.
+  - neighbors/rings are grid arithmetic (wrap in x, clamp in y).
+
+MAX_RES = 26 keeps ids in the positive int64 range (52 bits); at
+res 26 a cell is ~0.6m x 0.3m at the equator — far below tile size
+at 10^12-image scale, so the hierarchy covers every zoom the pyramid
+(operators/pyramid.py) needs.
+
+All kernels take/return NumPy arrays and are wrapped in pandas UDFs
+by the operators; none contain per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MAX_RES = 26
+EARTH_RADIUS_KM = 6371.0088
+# conservative km per degree of latitude (minimum over the WGS84 meridian)
+KM_PER_DEG_LAT_MIN = 110.567
+
+
+def _spread_bits(v: np.ndarray) -> np.ndarray:
+    """Interleave zeros between the low 26 bits of v (uint64 in/out)."""
+    v = v.astype(np.uint64)
+    v = (v | (v << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x3333333333333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return v
+
+
+def _compact_bits(v: np.ndarray) -> np.ndarray:
+    v = v.astype(np.uint64) & np.uint64(0x5555555555555555)
+    v = (v | (v >> np.uint64(1))) & np.uint64(0x3333333333333333)
+    v = (v | (v >> np.uint64(2))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v >> np.uint64(4))) & np.uint64(0x00FF00FF00FF00FF)
+    v = (v | (v >> np.uint64(8))) & np.uint64(0x0000FFFF0000FFFF)
+    v = (v | (v >> np.uint64(16))) & np.uint64(0x00000000FFFFFFFF)
+    return v
+
+
+def lonlat_to_xy(lon: np.ndarray, lat: np.ndarray, res: int) -> tuple[np.ndarray, np.ndarray]:
+    n = 1 << res
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    # normalize lon into [-180, 180)
+    lon = ((lon + 180.0) % 360.0) - 180.0
+    x = np.floor((lon + 180.0) / 360.0 * n).astype(np.int64)
+    y = np.floor((lat + 90.0) / 180.0 * n).astype(np.int64)
+    np.clip(x, 0, n - 1, out=x)
+    np.clip(y, 0, n - 1, out=y)
+    return x, y
+
+
+def xy_to_cell(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    return (_spread_bits(np.asarray(x)) | (_spread_bits(np.asarray(y)) << np.uint64(1))).astype(
+        np.int64
+    )
+
+
+def cell_to_xy(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    c = np.asarray(cell).astype(np.uint64)
+    return _compact_bits(c).astype(np.int64), _compact_bits(c >> np.uint64(1)).astype(np.int64)
+
+
+def cell_encode(lon: np.ndarray, lat: np.ndarray, res: int) -> np.ndarray:
+    """(lon, lat) -> int64 Morton cell id at resolution ``res``."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}]")
+    x, y = lonlat_to_xy(lon, lat, res)
+    return xy_to_cell(x, y)
+
+
+def cell_parent(cell: np.ndarray, res: int, parent_res: int) -> np.ndarray:
+    """Ancestor at ``parent_res`` — also available as the pure Spark
+    column expression ``F.shiftrightunsigned(cell, 2*(res-parent_res))``."""
+    if parent_res > res:
+        raise ValueError("parent_res must be <= res")
+    return np.asarray(cell) >> np.int64(2 * (res - parent_res))
+
+
+def cell_child_pos(cell: np.ndarray) -> np.ndarray:
+    """Quad position 0..3 within the parent: bit0 = x-half, bit1 = y-half."""
+    return (np.asarray(cell) & np.int64(3)).astype(np.int64)
+
+
+def cell_to_lonlat(cell: np.ndarray, res: int) -> tuple[np.ndarray, np.ndarray]:
+    """Cell center (lon, lat)."""
+    n = 1 << res
+    x, y = cell_to_xy(cell)
+    lon = (x.astype(np.float64) + 0.5) / n * 360.0 - 180.0
+    lat = (y.astype(np.float64) + 0.5) / n * 180.0 - 90.0
+    return lon, lat
+
+
+def cell_bounds(cell: np.ndarray, res: int) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(lon_min, lat_min, lon_max, lat_max) of each cell."""
+    n = 1 << res
+    x, y = cell_to_xy(cell)
+    lon0 = x.astype(np.float64) / n * 360.0 - 180.0
+    lat0 = y.astype(np.float64) / n * 180.0 - 90.0
+    return lon0, lat0, lon0 + 360.0 / n, lat0 + 180.0 / n
+
+
+def cell_ring(cell: int, res: int, r: int) -> np.ndarray:
+    """Cells at Chebyshev grid distance exactly ``r`` from ``cell``
+    (r=0 -> the cell itself). x wraps around the antimeridian, y is
+    clamped out (cells past the poles are dropped). Driver-side helper
+    for the kNN ring-expansion loop (SURVEY.md §2.3 J5)."""
+    n = 1 << res
+    x, y = cell_to_xy(np.asarray([cell]))
+    x0, y0 = int(x[0]), int(y[0])
+    if r == 0:
+        return np.asarray([cell], dtype=np.int64)
+    side = np.arange(-r, r + 1)
+    top = np.stack([side, np.full_like(side, r)], axis=1)
+    bot = np.stack([side, np.full_like(side, -r)], axis=1)
+    mid = np.arange(-r + 1, r)
+    left = np.stack([np.full_like(mid, -r), mid], axis=1)
+    right = np.stack([np.full_like(mid, r), mid], axis=1)
+    off = np.concatenate([top, bot, left, right], axis=0)
+    xs = (x0 + off[:, 0]) % n
+    ys = y0 + off[:, 1]
+    keep = (ys >= 0) & (ys < n)
+    return np.sort(xy_to_cell(xs[keep], ys[keep]))
+
+
+def cell_disk_batch(cells: np.ndarray, res: int, r: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized ring shell for many cells at once: returns
+    (row_index, shell_cell) pairs — the exploded form the kNN join
+    consumes. Ring r shell has <= 8r cells per input (r=0 -> 1)."""
+    n = 1 << res
+    x, y = cell_to_xy(np.asarray(cells))
+    if r == 0:
+        idx = np.arange(len(x))
+        return idx, xy_to_cell(x, y)
+    side = np.arange(-r, r + 1)
+    top = np.stack([side, np.full_like(side, r)], axis=1)
+    bot = np.stack([side, np.full_like(side, -r)], axis=1)
+    mid = np.arange(-r + 1, r)
+    left = np.stack([np.full_like(mid, -r), mid], axis=1)
+    right = np.stack([np.full_like(mid, r), mid], axis=1)
+    off = np.concatenate([top, bot, left, right], axis=0)  # [m, 2]
+    xs = (x[:, None] + off[None, :, 0]) % n  # [k, m]
+    ys = y[:, None] + off[None, :, 1]
+    keep = (ys >= 0) & (ys < n)
+    idx = np.broadcast_to(np.arange(len(x))[:, None], xs.shape)[keep]
+    return idx, xy_to_cell(xs[keep], ys[keep])
+
+
+def _range_offsets(r0: int, r1: int) -> np.ndarray:
+    """(dx, dy) offsets with Chebyshev distance in (r0, r1] — the
+    shell between two square rings (r0 = -1 includes the center)."""
+    side = np.arange(-r1, r1 + 1)
+    dx, dy = np.meshgrid(side, side)
+    cheb = np.maximum(np.abs(dx), np.abs(dy))
+    keep = (cheb > r0) & (cheb <= r1)
+    return np.stack([dx[keep], dy[keep]], axis=1)
+
+
+def cell_shell_batch(
+    cells_arr: np.ndarray, res: int, r0: int, r1: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized shell expansion for many cells: all cells with grid
+    Chebyshev distance in (r0, r1] of each input (r0=-1 -> full disk
+    of radius r1). Returns (row_index, cell) pairs, x wrapped, y
+    clamped out. The kNN geometric-growth loop consumes these."""
+    n = 1 << res
+    x, y = cell_to_xy(np.asarray(cells_arr))
+    off = _range_offsets(r0, r1)
+    xs = (x[:, None] + off[None, :, 0]) % n
+    ys = y[:, None] + off[None, :, 1]
+    keep = (ys >= 0) & (ys < n)
+    # when the shell wraps the whole globe in x, offsets alias the
+    # same cell; dedup per row is handled downstream (distinct join key)
+    idx = np.broadcast_to(np.arange(len(x))[:, None], xs.shape)[keep]
+    return idx, xy_to_cell(xs[keep], ys[keep])
+
+
+def knn_bound_km(lat: np.ndarray, res: int, r: int) -> np.ndarray:
+    """Lower bound on the distance from a query at latitude ``lat`` to
+    any tile in a cell the disk-of-radius-r exploration has NOT
+    visited (grid Chebyshev distance >= r+1). Such a cell is at least
+    r full cell-extents away in x or y; the x extent is evaluated at
+    the worst (most poleward) latitude reachable within the explored
+    band. Conservative by construction; documented pole limitation in
+    SURVEY.md §7.3 (fixtures exclude |lat| > ~55)."""
+    n = 1 << res
+    lat = np.abs(np.asarray(lat, dtype=np.float64))
+    h_deg = 180.0 / n
+    h_km = h_deg * KM_PER_DEG_LAT_MIN
+    worst_lat = np.minimum(lat + (r + 1) * h_deg, 89.9999)
+    w_km = 360.0 / n * KM_PER_DEG_LAT_MIN * np.cos(worst_lat * np.pi / 180.0)
+    return r * np.minimum(h_km, np.maximum(w_km, 0.0))
+
+
+def cell_size_km(lat: np.ndarray, res: int) -> np.ndarray:
+    """Conservative (minimum) km extent of a res-r cell at latitude
+    ``lat`` — the min of the N-S extent and the E-W extent at the
+    latitude in the cell's row nearest the pole. Used as the kNN
+    ring-expansion termination bound: any tile in an unexplored cell
+    (Chebyshev distance >= r+1) is at least ``r * cell_size_km`` away."""
+    n = 1 << res
+    lat = np.abs(np.asarray(lat, dtype=np.float64))
+    h_km = 180.0 / n * KM_PER_DEG_LAT_MIN
+    # worst-case |lat| within +-r rows never exceeds 90 deg
+    w_km = 360.0 / n * KM_PER_DEG_LAT_MIN * np.cos(np.minimum(lat + 180.0 / n, 90.0) * np.pi / 180.0)
+    return np.minimum(h_km, np.maximum(w_km, 0.0))
+
+
+def cover_bbox(lon_min: float, lat_min: float, lon_max: float, lat_max: float, res: int) -> np.ndarray:
+    """All res-r cells intersecting a lon/lat bbox (no antimeridian
+    crossing — FIXTURES.md documented limitation). Conservative cover
+    for the PIP coarse join; exactness comes from ray-cast refinement."""
+    n = 1 << res
+    x0 = int(np.clip(np.floor((lon_min + 180.0) / 360.0 * n), 0, n - 1))
+    x1 = int(np.clip(np.floor((lon_max + 180.0) / 360.0 * n), 0, n - 1))
+    y0 = int(np.clip(np.floor((lat_min + 90.0) / 180.0 * n), 0, n - 1))
+    y1 = int(np.clip(np.floor((lat_max + 90.0) / 180.0 * n), 0, n - 1))
+    xs, ys = np.meshgrid(np.arange(x0, x1 + 1), np.arange(y0, y1 + 1))
+    return np.sort(xy_to_cell(xs.ravel(), ys.ravel()))
+
+
+def polygon_cover(ring: np.ndarray, res: int, prune: bool = True) -> np.ndarray:
+    """Cells at res ``res`` whose rectangle may intersect the polygon
+    (SURVEY.md §2.6 G6). Starts from the bbox cover; when ``prune`` is
+    set, drops cells that provably do not touch the polygon (no
+    polygon vertex inside the cell, no cell corner inside the polygon,
+    no edge crossing the cell's x/y spans)."""
+    from gelos_spark.functions.geometry import points_in_polygon
+
+    ring = np.asarray(ring, dtype=np.float64)
+    cells = cover_bbox(ring[:, 0].min(), ring[:, 1].min(), ring[:, 0].max(), ring[:, 1].max(), res)
+    if not prune or len(cells) <= 4:
+        return cells
+    lon0, lat0, lon1, lat1 = cell_bounds(cells, res)
+    # (a) any polygon vertex inside the cell rect
+    vx, vy = ring[:, 0], ring[:, 1]
+    has_vertex = (
+        (vx[None, :] >= lon0[:, None])
+        & (vx[None, :] < lon1[:, None])
+        & (vy[None, :] >= lat0[:, None])
+        & (vy[None, :] < lat1[:, None])
+    ).any(axis=1)
+    # (b) any cell corner inside the polygon
+    corners_lon = np.stack([lon0, lon1, lon0, lon1], axis=1).ravel()
+    corners_lat = np.stack([lat0, lat0, lat1, lat1], axis=1).ravel()
+    corner_in = points_in_polygon(corners_lon, corners_lat, ring).reshape(-1, 4).any(axis=1)
+    # (c) any polygon edge intersecting the cell rect (segment-rect test)
+    ex0, ey0 = vx, vy
+    ex1, ey1 = np.roll(vx, -1), np.roll(vy, -1)
+    # quick reject per (cell, edge): bbox overlap
+    emin_x, emax_x = np.minimum(ex0, ex1), np.maximum(ex0, ex1)
+    emin_y, emax_y = np.minimum(ey0, ey1), np.maximum(ey0, ey1)
+    overlap = (
+        (emin_x[None, :] <= lon1[:, None])
+        & (emax_x[None, :] >= lon0[:, None])
+        & (emin_y[None, :] <= lat1[:, None])
+        & (emax_y[None, :] >= lat0[:, None])
+    )
+    keep = has_vertex | corner_in | overlap.any(axis=1)
+    return cells[keep]

@@ -1,0 +1,107 @@
+"""Text-analysis column builders for training-data pipelines:
+language ID, quality scoring, token counting, document
+fingerprinting. Everything is pure `pyspark.sql.functions` column
+expressions (JVM, whole-stage codegen) so they run at scan speed with
+the filter pushed into the parquet read; each has a matching ANSI-SQL
+oracle in __spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets for the n-gram heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "that"],
+    "de": ["der", "und", "die", "das", "nicht", "ist"],
+    "fr": ["le", "la", "les", "et", "est", "une"],
+    "es": ["el", "los", "las", "es", "una", "que"],
+}
+
+STOPWORDS_EN = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+# a BPE-ish token pattern: word pieces, numbers, or single punctuation
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def words(text: Column) -> Column:
+    return F.split(F.lower(text), r"\s+")
+
+
+def _marker_hits(text: Column, markers: list[str]) -> Column:
+    w = words(text)
+    hits = None
+    for m in markers:
+        h = F.size(F.filter(w, lambda x: x == F.lit(m)))
+        hits = h if hits is None else hits + h
+    return hits
+
+
+def langid_col(text: Column) -> Column:
+    """Heuristic language ID: the language whose marker-word hit count
+    is highest; ties and zero-hit rows -> 'und'. Deterministic tie
+    order = lexicographic language code."""
+    scored = None
+    best = None
+    for code in sorted(LANG_MARKERS):
+        hits = _marker_hits(text, LANG_MARKERS[code])
+        if scored is None:
+            scored, best = hits, F.lit(code)
+        else:
+            take = hits > scored
+            scored = F.when(take, hits).otherwise(scored)
+            best = F.when(take, F.lit(code)).otherwise(best)
+    return F.when(scored > 0, best).otherwise(F.lit("und"))
+
+
+def token_count_col(text: Column) -> Column:
+    """Count of BPE-ish tokens (letters runs, digit runs, single
+    punctuation) — regexp_count stays JVM-side."""
+    return F.regexp_count(text, F.lit(TOKEN_PATTERN))
+
+
+def word_count_col(text: Column) -> Column:
+    return F.size(F.filter(words(text), lambda x: x != F.lit("")))
+
+
+def quality_score_col(text: Column) -> Column:
+    """Quality heuristic in [0,1]: blends length band, punctuation
+    ratio, stopword ratio, mean word length band — the standard
+    pre-training quality gates, as column math."""
+    n_chars = F.length(text)
+    n_words = word_count_col(text)
+    n_punct = F.regexp_count(text, F.lit(r"[^\w\s]"))
+    stop_hits = _marker_hits(text, STOPWORDS_EN)
+    len_ok = F.when((n_chars >= 50) & (n_chars <= 20000), 1.0).otherwise(0.25)
+    punct_ratio = n_punct.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
+    punct_ok = F.when(punct_ratio <= 0.2, 1.0).otherwise(0.3)
+    stop_ratio = stop_hits.cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
+    stop_ok = F.when(stop_ratio >= 0.02, 1.0).otherwise(0.5)
+    mean_wlen = n_chars.cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
+    wlen_ok = F.when((mean_wlen >= 3.0) & (mean_wlen <= 12.0), 1.0).otherwise(0.4)
+    return F.round((len_ok + punct_ok + stop_ok + wlen_ok) / 4.0, 6)
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Normalized-prefix document fingerprint: md5 of the first 32
+    lowercased whitespace-split words. Engine-portable (DuckDB
+    computes the identical value), used for cheap exact/near-exact
+    grouping before the rolling-hash/minhash passes."""
+    prefix = F.concat_ws(" ", F.slice(words(text), 1, 32))
+    return F.md5(F.encode(prefix, "utf-8"))
+
+
+def rolling_fingerprint_col(
+    text_col_name: str, modulus: int = (1 << 61) - 1, base: int = 257
+) -> Column:
+    """True rolling-hash fingerprint over the first 32 words:
+    fold(h = (h*base + crc32(word)) % p), as pure column math via
+    aggregate() — order-sensitive, unlike a bag-of-words hash.
+    Verified against a NumPy reference in pytest (crc32 has no DuckDB
+    analog, so this one carries a rows-only driver check)."""
+    return F.expr(
+        f"aggregate(slice(split(lower({text_col_name}), '\\\\s+'), 1, 32), "
+        f"CAST(0 AS DECIMAL(38, 0)), "
+        f"(acc, x) -> CAST((acc * {base} + crc32(ENCODE(x, 'utf-8'))) % {modulus} AS DECIMAL(38, 0)))"
+    ).cast("long")

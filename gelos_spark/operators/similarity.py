@@ -1,0 +1,146 @@
+"""Approximate-nearest-neighbor similarity search over an embedding
+column (array<float>).
+
+Two paths, as the driver brief specifies:
+  - brute-force cosine top-k: the exactness baseline. Queries are the
+    small side -> broadcast; the corpus streams once with the dot
+    product as pure column math (zip_with/aggregate, JVM-side); top-k
+    per query is a window with (score desc, id asc) determinism.
+  - LSH-bucketed (random-hyperplane signs = SimHash-for-vectors):
+    the 100 TB path. Each vector maps to a small set of bucket keys
+    (nbits-bit sign pattern x ntables); candidates come from an
+    equi-join on (table, bucket) — no all-pairs blowup — then exact
+    cosine re-rank. Recall grows with ntables; exactness is restored
+    per-candidate, so returned scores are true cosines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _dot_expr(a: str, b: str) -> F.Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"0D, (acc, p) -> acc + p)"
+    )
+
+
+def _norm_expr(a: str) -> F.Column:
+    return F.sqrt(
+        F.expr(f"aggregate({a}, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: corpus x broadcast(queries) -> window.
+    Returns (query_id, rank, vec_id, cosine) ordered."""
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"),
+                      _norm_expr(vec_col).alias("cn"))
+    q = queries.select(F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("qv"),
+                       _norm_expr(qvec_col).alias("qn"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        (_dot_expr("cv", "qv") / (F.col("cn") * F.col("qn"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def _hyperplanes(dim: int, nbits: int, ntables: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((ntables, nbits, dim))
+
+
+def _bucket_udf(planes: np.ndarray):
+    ntables, nbits, dim = planes.shape
+
+    @F.pandas_udf(T.ArrayType(T.StructType([
+        T.StructField("tbl", T.IntegerType()),
+        T.StructField("bucket", T.LongType()),
+    ])))
+    def _buckets(vec: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vec])  # [B, dim]
+        out = []
+        sgn = np.einsum("tbd,nd->ntb", planes, m) > 0  # [N, T, nbits]
+        weights = (1 << np.arange(nbits, dtype=np.int64))
+        codes = (sgn * weights[None, None, :]).sum(axis=2)  # [N, T]
+        for i in range(len(m)):
+            out.append([{"tbl": int(t), "bucket": int(codes[i, t])} for t in range(ntables)])
+        return pd.Series(out)
+
+    return _buckets
+
+
+def lsh_topk(
+    spark: SparkSession,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int | None = None,
+    nbits: int = 12,
+    ntables: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k via random-hyperplane LSH buckets + exact cosine
+    re-rank of candidates. Output schema matches brute_force_topk."""
+    if dim is None:
+        first = corpus.select(F.size(vec_col).alias("d")).first()
+        dim = int(first["d"])
+    planes = _hyperplanes(dim, nbits, ntables, seed)
+    bucketize = _bucket_udf(planes)
+
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"), _norm_expr(vec_col).alias("cn"),
+        F.explode(bucketize(F.col(vec_col))).alias("bk"),
+    ).select("vec_id", "cv", "cn", F.col("bk.tbl").alias("tbl"), F.col("bk.bucket").alias("bucket"))
+    q = queries.select(
+        F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("qv"), _norm_expr(qvec_col).alias("qn"),
+        F.explode(bucketize(F.col(qvec_col))).alias("bk"),
+    ).select("query_id", "qv", "qn", F.col("bk.tbl").alias("tbl"), F.col("bk.bucket").alias("bucket"))
+
+    cand = (
+        c.join(F.broadcast(q), ["tbl", "bucket"])
+        .dropDuplicates(["query_id", "vec_id"])
+        .select(
+            "query_id",
+            "vec_id",
+            (_dot_expr("cv", "qv") / (F.col("cn") * F.col("qn"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def recall_at_k(ann: DataFrame, exact: DataFrame, k: int) -> float:
+    """Fraction of exact top-k pairs the ANN result recovered."""
+    hits = ann.join(exact, ["query_id", "vec_id"], "inner").count()
+    total = exact.count()
+    return hits / max(total, 1)

@@ -1,0 +1,54 @@
+"""kNN ring-expansion join vs full-distance-matrix oracle
+(FIXTURES.md §6: engine rows must match exactly, including
+(distance, image_id) tie-breaks)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gelos_spark.functions.geometry import haversine_np
+from gelos_spark.operators.knn_join import knn_join
+from gelos_spark.sources import synth
+
+
+def _brute_knn(tracker: pd.DataFrame, queries: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    tlon = tracker["lon"].to_numpy()
+    tlat = tracker["lat"].to_numpy()
+    tid = tracker["image_id"].to_numpy()
+    for q in queries.itertuples():
+        d = haversine_np(np.full_like(tlon, q.lon), np.full_like(tlat, q.lat), tlon, tlat)
+        order = np.lexsort((tid, d))[: q.k]
+        for rank, j in enumerate(order, start=1):
+            rows.append((q.query_id, rank, tid[j], d[j]))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "image_id", "dist_km"])
+
+
+@pytest.mark.parametrize("n,q,k,seed", [(400, 16, 5, 42), (2000, 40, 10, 11)])
+def test_knn_exact_vs_bruteforce(spark, n, q, k, seed):
+    tracker = synth.tracker_df(spark, n, seed=seed)
+    queries = synth.query_df(spark, q, n, seed=seed, k=k)
+    got = knn_join(spark, tracker, queries, n_tiles_hint=n).toPandas()
+    exp = _brute_knn(tracker.toPandas(), queries.toPandas())
+    assert got[["query_id", "rank", "image_id"]].values.tolist() == exp[
+        ["query_id", "rank", "image_id"]
+    ].values.tolist()
+    np.testing.assert_allclose(got["dist_km"].to_numpy(), exp["dist_km"].to_numpy(), rtol=1e-12)
+
+
+def test_knn_k_exceeds_population(spark):
+    """k larger than the tile count: returns every tile, ranked."""
+    tracker = synth.tracker_df(spark, 7, seed=5)
+    queries = synth.query_df(spark, 3, 7, seed=5, k=50)
+    got = knn_join(spark, tracker, queries, n_tiles_hint=7).toPandas()
+    assert (got.groupby("query_id").size() == 7).all()
+
+
+def test_knn_resolution_invariant(spark):
+    """The search resolution is a performance knob, never a results
+    knob."""
+    tracker = synth.tracker_df(spark, 300, seed=8)
+    queries = synth.query_df(spark, 10, 300, seed=8, k=4)
+    a = knn_join(spark, tracker, queries, res=4).toPandas()
+    b = knn_join(spark, tracker, queries, res=9).toPandas()
+    pd.testing.assert_frame_equal(a, b)
