@@ -1,38 +1,797 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (cell encode -> PIP cell-prefix
+join -> exact ray-cast tile assignment, the north rule's core pipeline)
+on /root/testdata/sf0.001. ``queries()`` exposes one callable per
+implemented operator from SURVEY.md §2 (eng: tags) plus the
+training-data-pipeline family (dedup / similarity / text analysis);
+``oracle_sql()`` carries the DuckDB-equivalent ANSI SQL.
+
+Exact-match engineering notes (SURVEY.md §7.3 determinism rules):
+  - synthetic lon/lat are derived from integer keys with *integer
+    modular arithmetic* then a fixed sequence of IEEE-754 double ops,
+    so Spark and DuckDB produce bit-identical coordinates;
+  - money sums go through exact integer cents (or are integer-valued
+    doubles, whose FP sum is exact and order-independent);
+  - transcendental outputs (haversine, cosine) are rounded to 6
+    decimals on both sides — JVM vs libm differ in the last ulp;
+  - the point-in-polygon oracle is codegen'd arithmetic (pip_sql), so
+    the even-odd crossing booleans match bit-exactly;
+  - the quadtree cell id oracle re-implements the Morton spread-bits
+    kernel as a SQL CTE chain — same shifts, same masks.
 """
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from gelos_spark.functions import text as tx
+from gelos_spark.functions.cell_udfs import cell_encode_udf, cell_parent_col
+from gelos_spark.functions.geometry import haversine_col, haversine_sql, pip_sql
+from gelos_spark.operators import dedup, similarity
+from gelos_spark.operators.knn_join import knn_join
+from gelos_spark.operators.pip_join import pip_join
+from gelos_spark.operators.pyramid import vector_pyramid
+
+# --------------------------------------------------------------------
+# deterministic synthetic geometry over the testdata keys
+# --------------------------------------------------------------------
+
+# lon = ((key*7919) % 12001)/12001*120 - 60   in [-60, 60)
+# lat = ((key*104729) % 9001)/9001*100 - 50   in [-50, 50)
+# integer mod is exact in both engines; the double ops are the same
+# IEEE sequence, so coordinates are bit-identical Spark vs DuckDB.
+_LON = (7919, 12001, 120.0, 60.0)
+_LAT = (104729, 9001, 100.0, 50.0)
+
+
+def _coord_col(key: str, p) -> F.Column:
+    m, q, span, off = p
+    return (F.col(key) * F.lit(m) % F.lit(q)).cast("double") / float(q) * span - off
+
+
+def _coord_sql(key: str, p) -> str:
+    m, q, span, off = p
+    return f"CAST(({key} * {m}) % {q} AS DOUBLE) / {float(q)} * {span} - {off}"
+
+
+def _points_df(df: DataFrame, key: str) -> DataFrame:
+    return df.select(
+        F.col(key).cast("string").alias("image_id"),
+        _coord_col(key, _LON).alias("lon"),
+        _coord_col(key, _LAT).alias("lat"),
+    )
+
+
+def _points_sql(table: str, key: str) -> str:
+    return (
+        f"SELECT CAST({key} AS VARCHAR) AS image_id, "
+        f"{_coord_sql(key, _LON)} AS lon, {_coord_sql(key, _LAT)} AS lat FROM {table}"
+    )
+
+
+def _make_polygons() -> list[dict]:
+    """Fixed AOI polygons (pure math.cos/sin at import — the same
+    Python floats are fed to the Spark operator and embedded as SQL
+    literals, so both sides see identical doubles)."""
+    out = []
+    for i in range(5):
+        cx, cy = -40.0 + 20.0 * i, -28.0 + 14.0 * i
+        r = 9.0 - 1.2 * i
+        nv = 5 + i
+        ring = []
+        for j in range(nv):
+            th = 2.0 * math.pi * j / nv + 0.3 * i
+            ring.append((cx + r * math.cos(th), cy + r * math.sin(th)))
+        out.append({"aoi_id": i, "ring": ring, "name": f"aoi{i}"})
+    return out
+
+
+POLYGONS = _make_polygons()
+
+KNN_POINTS = [
+    (0, -50.0, -40.0),
+    (1, -30.0, -20.0),
+    (2, -10.0, 0.0),
+    (3, 10.0, 10.0),
+    (4, 30.0, 20.0),
+    (5, 50.0, 40.0),
+    (6, 0.0, -45.0),
+    (7, 0.0, 45.0),
+]
+KNN_K = 10
+
+# --------------------------------------------------------------------
+# Morton cell id as SQL (mirrors functions/cells.py spread-bits kernel)
+# --------------------------------------------------------------------
+
+_SPREAD_STEPS = [
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+]
+
+
+def _cell_cte(pts_sql: str, res: int, carry: str = "image_id, lon, lat") -> str:
+    """CTE chain computing the res-``res`` Morton cell for (lon, lat)
+    points, ending in a relation ``mz`` with columns (carry..., cell)."""
+    n = 1 << res
+    parts = [
+        f"pts AS ({pts_sql})",
+        (
+            f"g0 AS (SELECT {carry}, "
+            f"CAST(floor((lon + 180.0) / 360.0 * {n}) AS BIGINT) AS xv, "
+            f"CAST(floor((lat + 90.0) / 180.0 * {n}) AS BIGINT) AS yv FROM pts)"
+        ),
+    ]
+    prev = "g0"
+    for i, (sh, m) in enumerate(_SPREAD_STEPS, 1):
+        parts.append(
+            f"g{i} AS (SELECT {carry}, "
+            f"(xv | (xv << {sh})) & {m} AS xv, (yv | (yv << {sh})) & {m} AS yv FROM {prev})"
+        )
+        prev = f"g{i}"
+    parts.append(f"mz AS (SELECT {carry}, (xv | (yv << 1)) AS cell FROM {prev})")
+    return "WITH " + ",\n".join(parts)
+
+
+def _tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    return [spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names]
+
+
+# --------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: cell encode -> PIP cell-prefix join -> exact ray-cast
+    assignment of every (synthetic-geo) customer point to its AOI."""
+    (customer,) = _tables(spark, "/root/testdata/sf0.001", "customer")
+    return pip_join(spark, _points_df(customer, "c_custkey"), POLYGONS)
 
+
+# --------------------------------------------------------------------
+# queries + oracles
+# --------------------------------------------------------------------
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def reg(fn):
+        _QUERIES[name] = fn
+        if sql is not None:
+            _ORACLES[name] = sql
+        return fn
+
+    return reg
+
+
+# ---------------------------------------------------- scans / filters
+
+@_q(
+    "scan_pushdown",
+    "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+    "WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-03-01' "
+    "AND l_returnflag = 'R'",
+)
+def _scan_pushdown(spark, sf_dir):
+    (li,) = _tables(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-03-01").cast("timestamp"))
+            & (F.col("l_returnflag") == "R")
+        ).select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+@_q(
+    "filter_isin",
+    "SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM lineitem "
+    "WHERE l_returnflag IN ('A', 'R') AND l_quantity < 5",
+)
+def _filter_isin(spark, sf_dir):
+    (li,) = _tables(spark, sf_dir, "lineitem")
+    return li.where(
+        F.col("l_returnflag").isin("A", "R") & (F.col("l_quantity") < 5)
+    ).select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+
+
+# ------------------------------------------------------------- joins
+
+@_q(
+    "join_tracker",
+    "SELECT o_orderkey, c_name, c_mktsegment, o_totalprice FROM orders "
+    "JOIN customer ON o_custkey = c_custkey WHERE o_totalprice > 400000.0",
+)
+def _join_tracker(spark, sf_dir):
+    orders, customer = _tables(spark, sf_dir, "orders", "customer")
+    return (
+        orders.where(F.col("o_totalprice") > 400000.0)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select("o_orderkey", "c_name", "c_mktsegment", "o_totalprice")
+    )
+
+
+@_q(
+    "lookup_map",
+    "SELECT n_nationkey, n_name, r_name AS region_name FROM nation "
+    "JOIN region ON n_regionkey = r_regionkey",
+)
+def _lookup_map(spark, sf_dir):
+    nation, region = _tables(spark, sf_dir, "nation", "region")
+    pairs = [(int(r.r_regionkey), r.r_name) for r in region.collect()]
+    m = F.create_map(*[F.lit(v) for kv in pairs for v in kv])
+    return nation.select(
+        "n_nationkey", "n_name", F.element_at(m, F.col("n_regionkey")).alias("region_name")
+    )
+
+
+@_q(
+    "anti_resume",
+    "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')",
+)
+def _anti_resume(spark, sf_dir):
+    # resume-delta shape (SURVEY.md §2.3 J6): work table anti-join the
+    # already-done set
+    orders, customer = _tables(spark, sf_dir, "orders", "customer")
+    done = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    return customer.join(
+        done, customer.c_custkey == done.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@_q(
+    "union_all",
+    "SELECT o_orderkey, 'urgent' AS src FROM orders WHERE o_orderpriority = '1-URGENT' "
+    "UNION ALL SELECT o_orderkey, 'big' AS src FROM orders WHERE o_totalprice > 450000.0",
+)
+def _union_all(spark, sf_dir):
+    (orders,) = _tables(spark, sf_dir, "orders")
+    a = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", F.lit("urgent").alias("src")
+    )
+    b = orders.where(F.col("o_totalprice") > 450000.0).select(
+        "o_orderkey", F.lit("big").alias("src")
+    )
+    return a.unionByName(b)
+
+
+# ------------------------------------------------------ aggregations
+
+@_q(
+    "agg_max_len",
+    "SELECT max(length(CAST(o_orderkey AS VARCHAR))) AS max_len FROM orders",
+)
+def _agg_max_len(spark, sf_dir):
+    (orders,) = _tables(spark, sf_dir, "orders")
+    return orders.agg(
+        F.max(F.length(F.col("o_orderkey").cast("string"))).cast("long").alias("max_len")
+    )
+
+
+@_q(
+    "agg_pricing",
+    "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, "
+    "CAST(SUM(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_price_cents, "
+    "round(SUM(l_quantity) / count(*), 6) AS avg_qty, count(*) AS count_order "
+    "FROM lineitem GROUP BY l_returnflag, l_linestatus",
+)
+def _agg_pricing(spark, sf_dir):
+    # TPC-H Q1 shape. l_quantity is integer-valued (exact FP sum,
+    # order-independent); money goes through exact integer cents.
+    (li,) = _tables(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum(F.round(F.col("l_extendedprice") * 100.0).cast("long")).alias("sum_price_cents"),
+        F.round(F.sum("l_quantity") / F.count("*"), 6).alias("avg_qty"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@_q(
+    "agg_bucket_counts",
+    "SELECT l_orderkey % 32 AS bucket, count(*) AS n_rows, SUM(l_quantity) AS sum_qty, "
+    "min(l_orderkey) AS min_key, max(l_orderkey) AS max_key FROM lineitem GROUP BY l_orderkey % 32",
+)
+def _agg_bucket_counts(spark, sf_dir):
+    # deterministic stand-in for per-partition lineage counts
+    # (SURVEY.md §2.4 A6): bucket = explicit key, not partition id
+    (li,) = _tables(spark, sf_dir, "lineitem")
+    return li.groupBy((F.col("l_orderkey") % 32).alias("bucket")).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.min("l_orderkey").alias("min_key"),
+        F.max("l_orderkey").alias("max_key"),
+    )
+
+
+@_q(
+    "salted_agg",
+    "SELECT l_suppkey, count(*) AS n_items, SUM(l_quantity) AS sum_qty "
+    "FROM lineitem GROUP BY l_suppkey",
+)
+def _salted_agg(spark, sf_dir):
+    # two-stage salted aggregation (north rule skew handling): partial
+    # agg on (key, salt), final re-agg on key; result provably equals
+    # the plain GROUP BY (the oracle). Production uses
+    # pmod(xxhash64(id), n) salts — here the salt is deterministic so
+    # the equality is exact.
+    (li,) = _tables(spark, sf_dir, "lineitem")
+    partial = li.groupBy(
+        "l_suppkey", (F.col("l_orderkey") % 8).alias("_salt")
+    ).agg(F.count("*").alias("pn"), F.sum("l_quantity").alias("pq"))
+    return partial.groupBy("l_suppkey").agg(
+        F.sum("pn").alias("n_items"), F.sum("pq").alias("sum_qty")
+    )
+
+
+# ------------------------------------------- windows / sort / sample
+
+@_q(
+    "window_topk",
+    "SELECT o_custkey, rn, o_orderkey, o_totalprice FROM ("
+    "SELECT o_custkey, o_orderkey, o_totalprice, CAST(row_number() OVER ("
+    "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn "
+    "FROM orders) t WHERE rn <= 3",
+)
+def _window_topk(spark, sf_dir):
+    (orders,) = _tables(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+    )
+
+
+@_q(
+    "sample_n",
+    "SELECT c_custkey, c_name FROM customer "
+    "ORDER BY (c_custkey * 2654435761) % 4294967296, c_custkey LIMIT 100",
+)
+def _sample_n(spark, sf_dir):
+    # seeded exact-n sample (SURVEY.md §2.5 W2): deterministic hash
+    # order via integer arithmetic shared by both engines
+    (customer,) = _tables(spark, sf_dir, "customer")
+    return (
+        customer.orderBy(
+            (F.col("c_custkey") * F.lit(2654435761) % F.lit(4294967296)).asc(),
+            F.col("c_custkey").asc(),
+        )
+        .limit(100)
+        .select("c_custkey", "c_name")
+    )
+
+
+@_q(
+    "event_window_agg",
+    "SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n_events, "
+    "min(value) AS min_value, max(value) AS max_value FROM events "
+    "GROUP BY date_trunc('hour', ts), event_type",
+)
+def _event_window_agg(spark, sf_dir):
+    # tumbling event-time window (batch analog of the streaming path)
+    (events,) = _tables(spark, sf_dir, "events")
+    return events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("win_start"), F.col("event_type")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+# -------------------------------------------------- string functions
+
+@_q(
+    "string_keys",
+    "SELECT p_partkey, concat_ws('|', lower(replace(p_type, ' ', '_')), "
+    "lpad(CAST(p_partkey AS VARCHAR), 10, '0')) AS part_key, upper(p_brand) AS brand_uc "
+    "FROM part",
+)
+def _string_keys(spark, sf_dir):
+    (part,) = _tables(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.concat_ws(
+            "|",
+            F.lower(F.replace(F.col("p_type"), F.lit(" "), F.lit("_"))),
+            F.lpad(F.col("p_partkey").cast("string"), 10, "0"),
+        ).alias("part_key"),
+        F.upper("p_brand").alias("brand_uc"),
+    )
+
+
+@_q(
+    "fmt_latlon",
+    "SELECT image_id, printf('%.4f°%s, %.4f°%s', abs(lat), "
+    "CASE WHEN lat >= 0 THEN 'N' ELSE 'S' END, abs(lon), "
+    "CASE WHEN lon >= 0 THEN 'E' ELSE 'W' END) AS pretty FROM ("
+    + _points_sql("customer", "c_custkey")
+    + ") p",
+)
+def _fmt_latlon(spark, sf_dir):
+    (customer,) = _tables(spark, sf_dir, "customer")
+    pts = _points_df(customer, "c_custkey")
+    return pts.select(
+        "image_id",
+        F.format_string(
+            "%.4f°%s, %.4f°%s",
+            F.abs(F.col("lat")),
+            F.when(F.col("lat") >= 0, "N").otherwise("S"),
+            F.abs(F.col("lon")),
+            F.when(F.col("lon") >= 0, "E").otherwise("W"),
+        ).alias("pretty"),
+    )
+
+
+# ------------------------------------------------- geospatial engine
+
+@_q(
+    "haversine",
+    "SELECT image_id, round(" + haversine_sql("lon", "lat", "0.0", "0.0") + ", 6) AS dist_km "
+    "FROM (" + _points_sql("customer", "c_custkey") + ") p",
+)
+def _haversine(spark, sf_dir):
+    (customer,) = _tables(spark, sf_dir, "customer")
+    pts = _points_df(customer, "c_custkey")
+    return pts.select(
+        "image_id",
+        F.round(
+            haversine_col(F.col("lon"), F.col("lat"), F.lit(0.0), F.lit(0.0)), 6
+        ).alias("dist_km"),
+    )
+
+
+@_q(
+    "cell_encode",
+    _cell_cte(_points_sql("customer", "c_custkey"), 12)
+    + "\nSELECT image_id, cell AS cell12, (cell >> 14) AS cell5 FROM mz",
+)
+def _cell_encode(spark, sf_dir):
+    (customer,) = _tables(spark, sf_dir, "customer")
+    pts = _points_df(customer, "c_custkey")
+    enc = pts.withColumn("cell12", cell_encode_udf(12)(F.col("lon"), F.col("lat")))
+    return enc.select(
+        "image_id", "cell12", cell_parent_col(F.col("cell12"), 12, 5).alias("cell5")
+    )
+
+
+@_q(
+    "pyramid_rollup",
+    _cell_cte(
+        "SELECT CAST(c_custkey AS VARCHAR) AS image_id, c_mktsegment AS cat, "
+        f"{_coord_sql('c_custkey', _LON)} AS lon, {_coord_sql('c_custkey', _LAT)} AS lat "
+        "FROM customer",
+        6,
+        carry="image_id, cat, lon, lat",
+    )
+    + "\n"
+    + " UNION ALL ".join(
+        f"SELECT {res} AS res, (cell >> {2 * (6 - res)}) AS cell, count(*) AS n_tiles, "
+        f"count(DISTINCT cat) AS n_cat FROM mz GROUP BY (cell >> {2 * (6 - res)})"
+        for res in range(6, 1, -1)
+    ),
+)
+def _pyramid_rollup(spark, sf_dir):
+    # vector-side zoom re-aggregation (SURVEY.md §2.4 A7): leaf cells
+    # at res 6, parents by pure bit-shift down to res 2
+    (customer,) = _tables(spark, sf_dir, "customer")
+    pts = customer.select(
+        F.col("c_custkey").cast("string").alias("image_id"),
+        F.col("c_mktsegment").alias("cat"),
+        _coord_col("c_custkey", _LON).alias("lon"),
+        _coord_col("c_custkey", _LAT).alias("lat"),
+    )
+    leaf = pts.withColumn("cell", cell_encode_udf(6)(F.col("lon"), F.col("lat")))
+    return vector_pyramid(leaf, 6, 2, cat_col="cat")
+
+
+@_q(
+    "pip_join",
+    " UNION ALL ".join(
+        f"SELECT CAST({p['aoi_id']} AS BIGINT) AS aoi_id, image_id, lon, lat "
+        f"FROM ({_points_sql('customer', 'c_custkey')}) p WHERE "
+        + pip_sql("lon", "lat", p["ring"])
+        for p in POLYGONS
+    ),
+)
+def _pip_join(spark, sf_dir):
+    (customer,) = _tables(spark, sf_dir, "customer")
+    return pip_join(spark, _points_df(customer, "c_custkey"), POLYGONS)
+
+
+@_q(
+    "knn_join",
+    "WITH q(query_id, qlon, qlat) AS (VALUES "
+    + ", ".join(f"(CAST({i} AS BIGINT), {lon!r}, {lat!r})" for i, lon, lat in KNN_POINTS)
+    + "), d AS (SELECT q.query_id, p.image_id, "
+    + haversine_sql("q.qlon", "q.qlat", "p.lon", "p.lat")
+    + f" AS dist FROM ({_points_sql('customer', 'c_custkey')}) p CROSS JOIN q), "
+    "r AS (SELECT query_id, image_id, dist, CAST(row_number() OVER ("
+    "PARTITION BY query_id ORDER BY dist, image_id) AS BIGINT) AS rank FROM d) "
+    f"SELECT query_id, rank, image_id, round(dist, 6) AS dist_km FROM r WHERE rank <= {KNN_K}",
+)
+def _knn_join(spark, sf_dir):
+    (customer,) = _tables(spark, sf_dir, "customer")
+    tiles = _points_df(customer, "c_custkey")
+    qdf = spark.createDataFrame(
+        [(i, lon, lat, KNN_K) for i, lon, lat in KNN_POINTS],
+        "query_id long, lon double, lat double, k int",
+    )
+    out = knn_join(spark, tiles, qdf, res=7, n_tiles_hint=2000)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "image_id",
+        F.round("dist_km", 6).alias("dist_km"),
+    )
+
+
+# --------------------------------------------------- array functions
+
+@_q(
+    "array_slice",
+    "SELECT vec_id, list_slice(embedding, 3, 10) AS emb_slice FROM embeddings",
+)
+def _array_slice(spark, sf_dir):
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", F.slice("embedding", 3, 8).alias("emb_slice"))
+
+
+@_q(
+    "array_repeat_concat",
+    "SELECT vec_id, flatten([list_slice(embedding, 1, 4), list_slice(embedding, 1, 4), "
+    "list_slice(embedding, 1, 4)]) AS rep FROM embeddings",
+)
+def _array_repeat_concat(spark, sf_dir):
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", F.flatten(F.array_repeat(F.slice("embedding", 1, 4), 3)).alias("rep")
+    )
+
+
+@_q(
+    "agg_array_mean",
+    "SELECT vec_id, round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) "
+    "/ len(embedding), 6) AS vec_mean FROM embeddings",
+)
+def _agg_array_mean(spark, sf_dir):
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    mean = F.expr(
+        "aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE))"
+    ) / F.size("embedding")
+    return emb.select("vec_id", F.round(mean, 6).alias("vec_mean"))
+
+
+@_q(
+    "normalize",
+    "SELECT event_id, event_type, round((value - min(value) OVER (PARTITION BY event_type)) "
+    "/ nullif(max(value) OVER (PARTITION BY event_type) "
+    "- min(value) OVER (PARTITION BY event_type), 0.0), 6) AS norm_value FROM events",
+)
+def _normalize(spark, sf_dir):
+    # min-max normalize (F5 analog) — min/max are order-independent
+    # (exact), unlike mean/std over doubles
+    (events,) = _tables(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    lo, hi = F.min("value").over(w), F.max("value").over(w)
+    return events.select(
+        "event_id",
+        "event_type",
+        F.round((F.col("value") - lo) / F.nullif(hi - lo, F.lit(0.0)), 6).alias("norm_value"),
+    )
+
+
+# ------------------------------------------- dedup / text / similarity
+
+@_q(
+    "dedup_exact",
+    "SELECT min(doc_id) AS doc_id, count(*) AS dup_count, md5(text) AS content_hash "
+    "FROM documents GROUP BY md5(text)",
+)
+def _dedup_exact(spark, sf_dir):
+    (docs,) = _tables(spark, sf_dir, "documents")
+    hashed = docs.withColumn("content_hash", F.md5(F.encode(F.col("text"), "utf-8")))
+    return dedup.dedup_exact(hashed, ["content_hash"], "doc_id")
+
+
+@_q(
+    "doc_fingerprint",
+    "SELECT doc_id, md5(array_to_string(list_slice("
+    "string_split_regex(lower(text), '\\s+'), 1, 32), ' ')) AS fp FROM documents",
+)
+def _doc_fingerprint(spark, sf_dir):
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.fingerprint_col(F.col("text")).alias("fp"))
+
+
+def _marker_hits_sql(markers: list[str]) -> str:
+    return "(" + " + ".join(
+        f"len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w = '{m}'))"
+        for m in markers
+    ) + ")"
+
+
+def _langid_sql() -> str:
+    codes = sorted(tx.LANG_MARKERS)
+    hits = ", ".join(f"{_marker_hits_sql(tx.LANG_MARKERS[c])} AS h_{c}" for c in codes)
+    g = "greatest(" + ", ".join(f"h_{c}" for c in codes) + ")"
+    case = f"CASE WHEN {g} = 0 THEN 'und' " + " ".join(
+        f"WHEN h_{c} = {g} THEN '{c}'" for c in codes
+    ) + " END"
+    return (
+        f"WITH s AS (SELECT doc_id, {hits} FROM documents) "
+        f"SELECT doc_id, {case} AS lang_pred FROM s"
+    )
+
+
+@_q("langid", _langid_sql())
+def _langid(spark, sf_dir):
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.langid_col(F.col("text")).alias("lang_pred"))
+
+
+@_q(
+    "token_count",
+    "SELECT doc_id, len(regexp_extract_all(text, "
+    "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens FROM documents",
+)
+def _token_count(spark, sf_dir):
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", tx.token_count_col(F.col("text")).cast("long").alias("n_tokens")
+    )
+
+
+def _quality_sql() -> str:
+    stop = _marker_hits_sql(tx.STOPWORDS_EN)
+    return (
+        "WITH s AS (SELECT doc_id, length(text) AS n_chars, "
+        "len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w != '')) AS n_words, "
+        "len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct, "
+        f"{stop} AS stop_hits FROM documents) "
+        "SELECT doc_id, round(("
+        "(CASE WHEN n_chars >= 50 AND n_chars <= 20000 THEN 1.0 ELSE 0.25 END) + "
+        "(CASE WHEN CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) <= 0.2 "
+        "THEN 1.0 ELSE 0.3 END) + "
+        "(CASE WHEN CAST(stop_hits AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) >= 0.02 "
+        "THEN 1.0 ELSE 0.5 END) + "
+        "(CASE WHEN CAST(n_chars AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) >= 3.0 "
+        "AND CAST(n_chars AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) <= 12.0 "
+        "THEN 1.0 ELSE 0.4 END)) / 4.0, 6) AS quality FROM s"
+    )
+
+
+@_q("quality_score", _quality_sql())
+def _quality_score(spark, sf_dir):
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.quality_score_col(F.col("text")).alias("quality"))
+
+
+_NGRAM_MIN_J = 0.15
+
+
+@_q(
+    "ngram_jaccard",
+    "WITH g AS (SELECT doc_id AS id, lang AS blk, "
+    "list_distinct(list_transform(range(0, greatest(len(string_split_regex(lower(text), "
+    "'\\s+')) - 3, 0) + 1), i -> array_to_string(list_slice(string_split_regex(lower(text), "
+    "'\\s+'), i + 1, i + 3), ' '))) AS grams FROM documents) "
+    "SELECT id_a, id_b, jaccard FROM (SELECT l.id AS id_a, r.id AS id_b, "
+    "round(CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE) / "
+    "CAST(greatest(len(list_distinct(list_concat(l.grams, r.grams))), 1) AS DOUBLE), 6) "
+    "AS jaccard FROM g l JOIN g r ON l.blk = r.blk AND l.id < r.id) t "
+    f"WHERE jaccard >= {_NGRAM_MIN_J}",
+)
+def _ngram_jaccard(spark, sf_dir):
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        docs, n=3, min_jaccard=_NGRAM_MIN_J, block_col="lang"
+    )
+
+
+_COS_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * "
+    "CAST(p[2] AS DOUBLE)))"
+)
+_COS_NORM = "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+
+@_q(
+    "embedding_topk",
+    "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5), "
+    "d AS (SELECT q.query_id, c.vec_id, "
+    + _COS_DOT.format(a="c.embedding", b="q.qv")
+    + " / ("
+    + _COS_NORM.format(a="c.embedding")
+    + " * "
+    + _COS_NORM.format(a="q.qv")
+    + ") AS cosine FROM embeddings c CROSS JOIN q), "
+    "r AS (SELECT query_id, vec_id, cosine, CAST(row_number() OVER ("
+    "PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank FROM d) "
+    "SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine FROM r WHERE rank <= 10",
+)
+def _embedding_topk(spark, sf_dir):
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.brute_force_topk(emb, q, k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+_DUP_MIN_COS = 0.35
+
+
+@_q(
+    "embedding_dup_pairs",
+    "SELECT id_a, id_b, cosine FROM (SELECT l.vec_id AS id_a, r.vec_id AS id_b, round("
+    + _COS_DOT.format(a="l.embedding", b="r.embedding")
+    + " / ("
+    + _COS_NORM.format(a="l.embedding")
+    + " * "
+    + _COS_NORM.format(a="r.embedding")
+    + "), 6) AS cosine FROM embeddings l JOIN embeddings r "
+    "ON l.label = r.label AND l.vec_id < r.vec_id) t "
+    f"WHERE cosine >= {_DUP_MIN_COS}",
+)
+def _embedding_dup_pairs(spark, sf_dir):
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    return dedup.embedding_dup_pairs(emb, min_cosine=_DUP_MIN_COS, block_col="label")
+
+
+# ---------------------------------- rows-only checks (no SQL analog)
+
+@_q("minhash_lsh_pairs")
+def _minhash_lsh_pairs(spark, sf_dir):
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, num_hashes=64, bands=16, min_jaccard=0.2
+    )
+
+
+@_q("simhash_pairs")
+def _simhash_pairs(spark, sf_dir):
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, max_hamming=3)
+
+
+@_q("rolling_fingerprint")
+def _rolling_fingerprint(spark, sf_dir):
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", tx.rolling_fingerprint_col("text").alias("rfp")
+    )
+
+
+@_q("lsh_topk")
+def _lsh_topk(spark, sf_dir):
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.lsh_topk(spark, emb, q, k=10, nbits=10, ntables=8)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# --------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

@@ -1,0 +1,137 @@
+"""Headline benchmark — run by the driver per round (BENCH_r{N}.json).
+
+Runs the engine's flagship pipelines at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value" (total sec), "unit", "queries" (per-query
+sec), "sf", plus tiles/sec extras for the north-rule metric}.
+
+The flagship is the north rule's end-to-end path: synthetic-geo
+points -> quadtree cell encode -> PIP cell-prefix join -> exact
+ray-cast tile assignment. Every query materializes through the noop
+sink (full computation, no driver collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from gelos_spark.session import get_spark
+from gelos_spark.operators.knn_join import knn_join
+from gelos_spark.operators.pip_join import pip_join
+from gelos_spark.operators.pyramid import vector_pyramid
+from gelos_spark.operators import dedup, similarity
+from gelos_spark.functions.cell_udfs import cell_encode_udf
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def materialize(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main():
+    spark = get_spark("gelos-bench", cpus=CPUS)
+    t = lambda: time.time()
+    read = lambda n: spark.read.parquet(f"{SF_DIR}/{n}.parquet")
+
+    orders = read("orders")
+    lineitem = read("lineitem")
+    customer = read("customer")
+    documents = read("documents")
+    embeddings = read("embeddings")
+    n_tiles = orders.count()
+
+    timings: dict[str, float] = {}
+
+    def run(name, fn):
+        t0 = t()
+        fn()
+        timings[name] = round(t() - t0, 3)
+
+    # flagship: cell encode -> PIP cell-prefix join -> assignment over
+    # the orders-derived point table (the "tiles")
+    tiles = entry._points_df(orders, "o_orderkey")
+    run("q_pip_flagship", lambda: materialize(pip_join(spark, tiles, entry.POLYGONS)))
+    tiles_per_sec = round(n_tiles / timings["q_pip_flagship"], 1)
+
+    # cell encode + multi-zoom vector pyramid over the full lineitem
+    li_pts = lineitem.select(
+        F.col("l_orderkey").alias("k"),
+        entry._coord_col("l_orderkey", entry._LON).alias("lon"),
+        entry._coord_col("l_orderkey", entry._LAT).alias("lat"),
+        F.col("l_returnflag").alias("cat"),
+    )
+    run(
+        "q_pyramid",
+        lambda: materialize(
+            vector_pyramid(
+                li_pts.withColumn("cell", cell_encode_udf(8)(F.col("lon"), F.col("lat"))),
+                8,
+                2,
+                cat_col="cat",
+            )
+        ),
+    )
+
+    # kNN ring-expansion: 64 query points over the customer tiles
+    cust_pts = entry._points_df(customer, "c_custkey")
+    qdf = spark.createDataFrame(
+        [(i, -55.0 + i * 1.7, -45.0 + i * 1.4, 10) for i in range(64)],
+        "query_id long, lon double, lat double, k int",
+    )
+    n_cust = customer.count()
+    run(
+        "q_knn",
+        lambda: materialize(
+            knn_join(spark, cust_pts, qdf, n_tiles_hint=n_cust)
+        ),
+    )
+
+    # TPC-H Q1-shape aggregation over lineitem
+    run("q_agg_pricing", lambda: materialize(entry._agg_pricing(spark, SF_DIR)))
+
+    # MinHash+LSH near-dup over documents
+    run(
+        "q_minhash",
+        lambda: materialize(
+            dedup.minhash_lsh_pairs(documents, num_hashes=64, bands=16, min_jaccard=0.2)
+        ),
+    )
+
+    # brute-force cosine top-k over embeddings (16 queries)
+    q_emb = embeddings.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    run(
+        "q_embedding_topk",
+        lambda: materialize(similarity.brute_force_topk(embeddings, q_emb, k=10)),
+    )
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall seconds (flagship: cell encode -> PIP join -> tile assignment)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+                "cpus": CPUS,
+                "flagship_tiles": n_tiles,
+                "flagship_tiles_per_sec": tiles_per_sec,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -41,11 +41,12 @@ def _hash_bytes_u64(tokens: list[bytes], seed: int) -> np.ndarray:
     overkill for short shingles — this is batch-level, not per-row
     Python: called once per document inside an Arrow batch loop)."""
     out = np.empty(len(tokens), dtype=np.uint64)
-    for i, t in enumerate(tokens):
-        h = np.uint64(0xCBF29CE484222325) ^ np.uint64(seed)
-        for b in t:
-            h = (h ^ np.uint64(b)) * np.uint64(0x100000001B3)
-        out[i] = h
+    with np.errstate(over="ignore"):
+        for i, t in enumerate(tokens):
+            h = np.uint64(0xCBF29CE484222325) ^ np.uint64(seed)
+            for b in t:
+                h = (h ^ np.uint64(b)) * np.uint64(0x100000001B3)
+            out[i] = h
     return out
 
 

@@ -125,13 +125,13 @@ def build_pyramid(
 
 
 def vector_pyramid(
-    tiles_with_cell: DataFrame, leaf_res: int, min_res: int
+    tiles_with_cell: DataFrame, leaf_res: int, min_res: int, cat_col: str = "lulc"
 ) -> DataFrame:
     """Vector side of the pyramid: per-cell tile counts + per-category
     counts at every zoom level, produced as ONE multi-level
     aggregation from the leaf cells (each level is a pure column
     right-shift — no UDF, partial aggregation map-side combines).
-    Returns (res, cell, n_tiles, n_lulc) ordered."""
+    Returns (res, cell, n_tiles, n_cat) ordered."""
     per_level = []
     for res in range(leaf_res, min_res - 1, -1):
         per_level.append(
@@ -140,14 +140,14 @@ def vector_pyramid(
             )
             .agg(
                 F.count("*").alias("n_tiles"),
-                F.countDistinct("lulc").alias("n_lulc"),
+                F.countDistinct(cat_col).alias("n_cat"),
             )
             .withColumn("res", F.lit(res))
         )
     out = per_level[0]
     for df in per_level[1:]:
         out = out.unionByName(df)
-    return out.select("res", "cell", "n_tiles", "n_lulc").orderBy("res", "cell")
+    return out.select("res", "cell", "n_tiles", "n_cat").orderBy("res", "cell")
 
 
 def merge_pyramids(a: DataFrame, b: DataFrame) -> DataFrame:
