@@ -1,0 +1,93 @@
+"""Skew handling: explicit key salting + AQE skew-join config
+(SURVEY.md §4 "custom work" item 1; north rule: "Skew from dense
+urban cells is handled with explicit salting + AQE skew-join hints").
+
+The dense-urban-cell problem: 80% of tiles live in a handful of cells
+(FIXTURES.md tracker mixture), so a shuffle keyed on ``cell_id`` puts
+most rows in a few reducer partitions. Two complementary mitigations:
+
+  - **AQE skew split** (config, already on in session.py): splits
+    oversized shuffle partitions at runtime — covers joins.
+  - **Explicit salting** (this module): for aggregations and for joins
+    whose small side can be replicated, append
+    ``salt = pmod(xxhash64(uid), n_salt)`` to the hot keys only,
+    pre-aggregate / join on (key, salt), then merge. Salting is
+    *result-invariant by construction* for decomposable aggregates
+    (count/sum/min/max) and for equi-joins (the dim side is exploded
+    over every salt value) — tests/test_skew.py asserts equality
+    against the unsalted plan.
+
+``hot_keys`` is the cheap pre-pass (count per key, keep keys holding
+more than ``hot_fraction`` of the mean load); at 10^12 scale it runs
+on a sample or on the previous snapshot's per-cell counts (the vector
+pyramid's res-N level is exactly that table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "_salt"
+
+
+def hot_keys(df: DataFrame, key: str, factor: float = 8.0) -> list:
+    """Keys whose row count exceeds ``factor`` x the mean per-key load."""
+    counts = df.groupBy(key).count()
+    mean = counts.agg(F.avg("count").alias("m")).collect()[0]["m"] or 0.0
+    return [r[key] for r in counts.where(F.col("count") > factor * mean).collect()]
+
+
+def with_salt(df: DataFrame, key: str, hot: list, n_salt: int, uid: str) -> DataFrame:
+    """Append a salt column: pmod(xxhash64(uid), n_salt) on hot keys,
+    0 elsewhere. ``uid`` must be a stable row id so the salt is
+    deterministic (exact-match + resume requirements)."""
+    is_hot = F.col(key).isin(hot) if hot else F.lit(False)
+    return df.withColumn(
+        SALT_COL,
+        F.when(is_hot, F.pmod(F.xxhash64(F.col(uid)), F.lit(n_salt))).otherwise(F.lit(0)),
+    )
+
+
+def explode_salts(dim: DataFrame, key: str, hot: list, n_salt: int) -> DataFrame:
+    """Replicate dim rows of hot keys across every salt value (cold
+    keys keep salt 0), so ``fact JOIN dim ON (key, salt)`` is exact."""
+    is_hot = F.col(key).isin(hot) if hot else F.lit(False)
+    salts = F.when(is_hot, F.sequence(F.lit(0), F.lit(n_salt - 1))).otherwise(
+        F.array(F.lit(0))
+    )
+    return dim.withColumn(SALT_COL, F.explode(salts))
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    uid: str,
+    hot: list | None = None,
+    n_salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join robust to hot ``key`` values: fact side salted by
+    uid-hash, dim side exploded over salts — the hot key's rows spread
+    over ``n_salt`` reducers instead of one. Result == plain join."""
+    if hot is None:
+        hot = hot_keys(fact, key)
+    f = with_salt(fact, key, hot, n_salt, uid)
+    d = explode_salts(dim, key, hot, n_salt)
+    return f.join(d, [key, SALT_COL], how).drop(SALT_COL)
+
+
+def salted_count(
+    df: DataFrame, key: str, hot: list | None = None, n_salt: int = 16, uid: str | None = None
+) -> DataFrame:
+    """groupBy(key).count() as a two-stage salted aggregation:
+    partial count on (key, salt) then final sum on key. Equals the
+    direct groupBy for any salt assignment (count is decomposable);
+    used where AQE can't help (hash aggregation, not join)."""
+    uid = uid or key
+    if hot is None:
+        hot = hot_keys(df, key)
+    salted = with_salt(df, key, hot, n_salt, uid)
+    partial = salted.groupBy(key, SALT_COL).agg(F.count("*").alias("_pc"))
+    return partial.groupBy(key).agg(F.sum("_pc").alias("count"))

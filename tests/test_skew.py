@@ -1,0 +1,51 @@
+"""Salting correctness: salted plans must be result-invariant
+(SURVEY.md §4 item 1 — "results must be salt-invariant (verified in
+tests)"). The fixture mixture (80% of rows in 8 hot clusters,
+sources/synth.py) is exactly the skew the north rule names."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gelos_spark.operators import skew
+
+
+def _skewed(spark, n=5000):
+    # key 0 holds ~90% of rows — one hot reducer without salting
+    return spark.range(0, n).select(
+        F.col("id").alias("uid"),
+        F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id") % 97).alias("k"),
+    )
+
+
+def test_hot_keys_detects_the_hot_key(spark):
+    hot = skew.hot_keys(_skewed(spark), "k", factor=8.0)
+    assert 0 in hot and len(hot) <= 3
+
+
+def test_salted_count_equals_plain(spark):
+    df = _skewed(spark)
+    plain = {r.k: r["count"] for r in df.groupBy("k").count().collect()}
+    salted = {r.k: r["count"] for r in skew.salted_count(df, "k", n_salt=8, uid="uid").collect()}
+    assert plain == salted
+
+
+def test_salted_join_equals_plain(spark):
+    fact = _skewed(spark)
+    dim = spark.range(0, 97).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("dv")
+    )
+    plain = sorted((r.uid, r.dv) for r in fact.join(dim, "k").collect())
+    salted = sorted(
+        (r.uid, r.dv)
+        for r in skew.salted_join(fact, dim, "k", uid="uid", n_salt=8).collect()
+    )
+    assert plain == salted
+
+
+def test_salt_spreads_hot_key(spark):
+    df = skew.with_salt(_skewed(spark), "k", hot=[0], n_salt=8, uid="uid")
+    n_salts = df.where(F.col("k") == 0).select(skew.SALT_COL).distinct().count()
+    assert n_salts == 8  # hot key fanned out across 8 shuffle keys
+    cold = df.where(F.col("k") != 0).select(skew.SALT_COL).distinct().collect()
+    assert [r[skew.SALT_COL] for r in cold] == [0]

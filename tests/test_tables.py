@@ -1,0 +1,105 @@
+"""Snapshot table layer + checkpoint/resume tests (SURVEY.md §5 item 5).
+
+Reference contract being generalized: the marker-file commit protocol
+of gelos/embedding_generation.py:58-61,80 (skip if marker exists,
+touch on success) and the CSV memo read-back of
+gelos/embedding_transformation.py:85-94.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gelos_spark.plans.checkpoint import Pipeline, resume_delta
+from gelos_spark.tables.snapshot import SnapshotTable
+
+
+def test_append_and_time_travel(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.append(spark.range(0, 10).withColumn("v", F.col("id") * 2))
+    s1 = t.current_snapshot_id()
+    t.append(spark.range(10, 15).withColumn("v", F.col("id") * 2))
+    s2 = t.current_snapshot_id()
+    assert s2 == s1 + 1
+    assert t.read(spark).count() == 15
+    assert t.read(spark, snapshot_id=s1).count() == 10  # time travel
+    assert t.total_rows() == 15
+
+
+def test_overwrite_partition_idempotent(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.overwrite_partition(spark.range(0, 5), partition="stage_a")
+    t.overwrite_partition(spark.range(100, 110), partition="stage_b")
+    assert t.total_rows() == 15
+    # re-running stage_a replaces, never duplicates
+    t.overwrite_partition(spark.range(0, 7), partition="stage_a")
+    assert t.total_rows() == 17
+    vals = sorted(r.id for r in t.read(spark).collect())
+    assert vals == list(range(0, 7)) + list(range(100, 110))
+
+
+def test_empty_table_raises(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    assert t.is_empty()
+    with pytest.raises(ValueError):
+        t.read(spark)
+
+
+def test_pipeline_resume_skips_and_is_identical(spark, tmp_path):
+    root = str(tmp_path / "run")
+
+    def stage1(sp):
+        return sp.range(0, 100).withColumn("v", F.col("id") % 7)
+
+    def stage2_from(pipe):
+        return lambda sp: pipe.output("s1").groupBy("v").count()
+
+    p1 = Pipeline(spark, root, "r1")
+    p1.stage("s1", stage1)
+    out1 = p1.stage("s2", stage2_from(p1)).orderBy("v").collect()
+    assert p1.executed == ["s1", "s2"] and p1.skipped == []
+
+    # second run with the same run_id: everything skips, same rows
+    p2 = Pipeline(spark, root, "r1")
+    p2.stage("s1", stage1)
+    out2 = p2.stage("s2", stage2_from(p2)).orderBy("v").collect()
+    assert p2.skipped == ["s1", "s2"] and p2.executed == []
+    assert out1 == out2
+
+    # a new run_id recomputes (stage tables are overwritten idempotently)
+    p3 = Pipeline(spark, root, "r2")
+    p3.stage("s1", stage1)
+    assert p3.executed == ["s1"]
+
+
+def test_pipeline_partial_resume(spark, tmp_path):
+    """Crash after stage 1 -> rerun executes only stage 2."""
+    root = str(tmp_path / "run")
+    p1 = Pipeline(spark, root, "r1")
+    p1.stage("s1", lambda sp: sp.range(0, 50))
+    # "crash" here: s2 never ran
+    p2 = Pipeline(spark, root, "r1")
+    p2.stage("s1", lambda sp: sp.range(0, 50))
+    p2.stage("s2", lambda sp: p2.output("s1").withColumn("y", F.col("id") + 1))
+    assert p2.skipped == ["s1"] and p2.executed == ["s2"]
+    assert p2.output("s2").count() == 50
+
+
+def test_lineage_rows(spark, tmp_path):
+    p = Pipeline(spark, str(tmp_path / "run"), "r1")
+    p.stage("s1", lambda sp: sp.range(0, 64).repartition(4))
+    lin = p.log.lineage("r1").collect()
+    files = [r for r in lin if r.status == "file"]
+    done = [r for r in lin if r.status == "done"]
+    assert len(done) == 1
+    assert sum(r.rows_out for r in files) == 64 == done[0].rows_out
+    assert all(r.bytes > 0 for r in files)
+    assert len(files) >= 1  # one lineage row per written partition file
+
+
+def test_resume_delta(spark):
+    work = spark.range(0, 10).withColumnRenamed("id", "k")
+    done = spark.range(0, 4).withColumnRenamed("id", "k")
+    left = resume_delta(work, done, "k")
+    assert sorted(r.k for r in left.collect()) == list(range(4, 10))
