@@ -70,12 +70,112 @@ def minhash_signature(text: str, num_hashes: int, k: int = 5, seed: int = 42) ->
     return vals.min(axis=1)
 
 
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+
+
+def _concat_bytes(chunks: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenate byte strings -> (flat uint8 array, start offsets
+    [len(chunks)+1])."""
+    lens = np.fromiter((len(c) for c in chunks), dtype=np.int64, count=len(chunks))
+    flat = np.frombuffer(b"".join(chunks), dtype=np.uint8)
+    starts = np.concatenate([[0], np.cumsum(lens)])
+    return flat, starts
+
+
+def _fnv_ragged(flat: np.ndarray, starts: np.ndarray, seed: int) -> np.ndarray:
+    """FNV-1a hash of each variable-length byte span — vectorized
+    across spans (the loop is over byte POSITIONS, max span length
+    iterations, each step a whole-array op). Bit-identical to
+    _hash_bytes_u64."""
+    n = len(starts) - 1
+    lens = starts[1:] - starts[:-1]
+    maxlen = int(lens.max()) if n else 0
+    h = np.full(n, np.uint64(_FNV_OFFSET) ^ np.uint64(seed), dtype=np.uint64)
+    if maxlen == 0:
+        return h
+    safe = np.minimum(starts[:-1, None] + np.arange(maxlen)[None, :], len(flat) - 1)
+    mat = flat[safe]  # [n, maxlen]
+    mask = np.arange(maxlen)[None, :] < lens[:, None]
+    with np.errstate(over="ignore"):
+        for p in range(maxlen):
+            m = mask[:, p]
+            nh = (h ^ mat[:, p].astype(np.uint64)) * np.uint64(_FNV_PRIME)
+            h = np.where(m, nh, h)
+    return h
+
+
+def _shingle_hashes_batch(
+    texts: list[str], k: int, seed: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """All k-byte-shingle FNV hashes for a batch of documents:
+    (hashes, doc start offsets). Whole-doc shingle for docs shorter
+    than k (char_shingles semantics). The shingle FNV runs as k
+    whole-batch vector steps — no per-shingle Python."""
+    enc = [t.encode("utf-8", "ignore") for t in texts]
+    lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=len(enc))
+    n_sh = np.where(lens > k, lens - k + 1, 1)
+    doc_starts = np.concatenate([[0], np.cumsum(n_sh)])
+
+    flat, starts = _concat_bytes(enc)
+    long_mask = lens > k
+    out = np.empty(int(doc_starts[-1]), dtype=np.uint64)
+
+    # long docs: sliding windows, FNV as k vectorized steps
+    if long_mask.any():
+        win_starts = [
+            np.arange(starts[i], starts[i] + lens[i] - k + 1)
+            for i in np.flatnonzero(long_mask)
+        ]
+        ws = np.concatenate(win_starts)
+        h = np.full(len(ws), np.uint64(_FNV_OFFSET) ^ np.uint64(seed), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for p in range(k):
+                h = (h ^ flat[ws + p].astype(np.uint64)) * np.uint64(_FNV_PRIME)
+        pos = 0
+        for i in np.flatnonzero(long_mask):
+            c = int(n_sh[i])
+            out[doc_starts[i] : doc_starts[i] + c] = h[pos : pos + c]
+            pos += c
+    # short docs: one whole-doc shingle each, masked-position FNV
+    if (~long_mask).any():
+        idx = np.flatnonzero(~long_mask)
+        sub_flat, sub_starts = _concat_bytes([enc[i] for i in idx])
+        hs = _fnv_ragged(sub_flat, sub_starts, seed)
+        out[doc_starts[idx]] = hs
+    return out, doc_starts
+
+
+def minhash_batch(texts: list[str], num_hashes: int, k: int = 5, seed: int = 42) -> np.ndarray:
+    """[D, num_hashes] MinHash signatures for a document batch —
+    the whole batch is one shingle-hash pass + a segment-min reduce
+    per permutation chunk (np.minimum.reduceat). Identical values to
+    minhash_signature applied per document."""
+    sh, doc_starts = _shingle_hashes_batch(texts, k, seed)
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, num_hashes, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, num_hashes, dtype=np.uint64)
+    x = (sh % np.uint64(_MERSENNE)).astype(np.uint64)
+    d = len(texts)
+    out = np.empty((d, num_hashes), dtype=np.uint64)
+    seg = doc_starts[:-1]
+    chunk = max(1, min(num_hashes, int(64e6 // max(len(x), 1))))
+    with np.errstate(over="ignore"):
+        for c0 in range(0, num_hashes, chunk):
+            c1 = min(c0 + chunk, num_hashes)
+            vals = (a[c0:c1, None] * x[None, :] + b[c0:c1, None]) % np.uint64(_MERSENNE)
+            out[:, c0:c1] = np.minimum.reduceat(vals, seg, axis=1).T
+    return out.astype(np.int64)
+
+
 def minhash_udf(num_hashes: int = 128, k: int = 5, seed: int = 42):
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _sig(text: pd.Series) -> pd.Series:
-        return text.map(
-            lambda t: minhash_signature(t or "", num_hashes, k, seed).astype(np.int64).tolist()
-        )
+        texts = text.fillna("").tolist()
+        if not texts:
+            return pd.Series([], dtype=object)
+        sigs = minhash_batch(texts, num_hashes, k, seed)
+        return pd.Series(list(sigs))
 
     return _sig
 
@@ -95,10 +195,40 @@ def simhash64(text: str, seed: int = 42) -> int:
     return int(val.astype(np.int64))
 
 
+def simhash_batch(texts: list[str], seed: int = 42) -> np.ndarray:
+    """[D] int64 SimHash values for a document batch. Tokenization is
+    one str.split per doc (string prep, not hashing); token hashing is
+    the masked-position FNV over the whole batch's tokens at once and
+    bit votes reduce per document with np.add.reduceat — identical
+    values to simhash64 per document."""
+    toks_per_doc = [(t or "").lower().split() for t in texts]
+    n_toks = np.fromiter((len(ts) for ts in toks_per_doc), dtype=np.int64, count=len(texts))
+    all_toks = [w.encode("utf-8", "ignore") for ts in toks_per_doc for w in ts]
+    out = np.zeros(len(texts), dtype=np.int64)
+    if not all_toks:
+        return out
+    flat, starts = _concat_bytes(all_toks)
+    h = _fnv_ragged(flat, starts, seed)
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int64
+    )
+    votes_all = 2 * bits - 1  # [T, 64]
+    nonempty = np.flatnonzero(n_toks > 0)
+    doc_starts = np.concatenate([[0], np.cumsum(n_toks)])[:-1][nonempty]
+    votes = np.add.reduceat(votes_all, doc_starts, axis=0)  # [D_nonempty, 64]
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64)).astype(np.uint64)
+    vals = ((votes > 0).astype(np.uint64) * weights[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    out[nonempty] = vals.astype(np.int64)
+    return out
+
+
 def simhash_udf(seed: int = 42):
     @F.pandas_udf(T.LongType())
     def _sh(text: pd.Series) -> pd.Series:
-        return text.map(lambda t: simhash64(t, seed))
+        texts = text.fillna("").tolist()
+        return pd.Series(simhash_batch(texts, seed))
 
     return _sh
 

@@ -6,81 +6,55 @@ haversine distance").
 
 Algorithm (driver-side iterative DataFrame loop — SURVEY.md §4 item 2):
 
-  round i explores the shell of cells with grid Chebyshev distance in
-  (r_{i-1}, r_i] of each ACTIVE query's cell, with geometric radius
-  growth r_i = 1, 2, 4, 8. Candidates = shell ⋈ tiles on cell
-  (the shell side is tiny -> broadcast: the big tile table is never
-  shuffled; only matched candidates shuffle, keyed by query_id, into
-  the per-query top-k window). A query finalizes when it holds >= k
-  candidates whose k-th distance is <= the conservative lower bound
-  on anything living outside the explored disk
-  (functions/cells.knn_bound_km).
+  The TILE side is the big side (10^12 rows at target scale): it is
+  cell-indexed by a pure JVM column expression, persisted, and NEVER
+  shuffled — each round equi-joins a broadcast shell-cell table
+  against it and only the matched candidates shuffle (keyed by
+  query_id) into the per-query top-k window.
 
-  Queries still unresolved after the max ring (points in empty
-  deserts at the chosen resolution) are finalized by ONE exact
-  brute-force pass: broadcast the straggler queries against the tile
-  table and window top-k. At scale this is the right trade — a
-  bounded number of cheap ring rounds for the dense 99.9%, then a
-  single full scan shared by the rare stragglers, instead of
-  quadratically-growing shell explosions per straggler.
+  The QUERY side is the small side (a retrieval request set). It is
+  pulled to the driver once; ring shells are computed in driver NumPy
+  (functions/cells.cell_shell_batch) and shipped per round as a
+  broadcast DataFrame. This keeps the whole loop at ONE distributed
+  action per round (the per-query aggregate that decides who is
+  finished) with zero Python stages in the executor plan — at local
+  benchmark scale the win is plan-compile/worker-startup latency; on
+  a cluster it means the only Python in the job is the driver loop.
+  Query sets beyond ~10^6 rows would need the (slower) distributed
+  shell variant — out of scope for a retrieval API.
+
+  Round i explores the shell of cells with grid Chebyshev distance in
+  (r_{i-1}, r_i] of each ACTIVE query's cell. The initial radius r_0
+  is chosen from measured tile density (one aggregate over the
+  indexed tile table) so the first disk is expected to hold ~3k
+  candidates — the common case finishes in ONE round. A query
+  finalizes when it holds >= k candidates whose k-th distance is <=
+  the conservative lower bound on anything outside the explored disk
+  (functions/cells.knn_bound_km). Queries still unresolved after
+  max_rounds (points in empty deserts) are finalized by ONE exact
+  brute-force pass shared by all stragglers.
 
 Determinism: ranking orders by (dist, image_id) — the id tie-break
 makes the output exact-match reproducible at any parallelism
 (SURVEY.md §7.3); distances are float64 column expressions (JVM,
-whole-stage codegen), identical order of operations everywhere.
-
-Scale: tiles are pre-hashed to their res-``res`` cell and persisted
-partitioned by cell; each round touches only active queries (the
-active set shrinks fast — typically 2-4 rounds at realistic density).
+whole-stage codegen), identical order of operations everywhere. The
+driver-side bound check only decides WHEN a query stops expanding,
+never which rows rank — results are bound-invariant.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from gelos_spark.functions import cells
-from gelos_spark.functions.cell_udfs import cell_encode_udf
+from gelos_spark.functions.cell_udfs import cell_encode_col
 from gelos_spark.functions.geometry import haversine_col
 
-_SHELL_SCHEMA = T.StructType(
-    [
-        T.StructField("query_id", T.LongType(), False),
-        T.StructField("qlon", T.DoubleType(), False),
-        T.StructField("qlat", T.DoubleType(), False),
-        T.StructField("k", T.IntegerType(), False),
-        T.StructField("cell", T.LongType(), False),
-    ]
-)
-
-
-def _shell_expand(res: int, r0: int, r1: int):
-    """mapInArrow fn: queries(query_id, lon, lat, k, qcell) ->
-    exploded (query_id, qlon, qlat, k, cell) shell pairs, fully
-    vectorized."""
-
-    def fn(batches):
-        for b in batches:
-            pdf = b.to_pandas()
-            if len(pdf) == 0:
-                continue
-            idx, shell = cells.cell_shell_batch(pdf["qcell"].to_numpy(), res, r0, r1)
-            out = pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"].to_numpy()[idx],
-                    "qlon": pdf["lon"].to_numpy()[idx],
-                    "qlat": pdf["lat"].to_numpy()[idx],
-                    "k": pdf["k"].to_numpy()[idx].astype(np.int32),
-                    "cell": shell,
-                }
-            ).drop_duplicates(["query_id", "cell"])
-            yield pa.RecordBatch.from_pandas(out, preserve_index=False)
-
-    return fn
+_SHELL_SCHEMA = "query_id long, qlon double, qlat double, k int, cell long"
+_OUT_SCHEMA = "query_id long, rank int, image_id string, dist_km double"
 
 
 def default_res(n_tiles: int) -> int:
@@ -90,17 +64,51 @@ def default_res(n_tiles: int) -> int:
     return int(np.clip(int(np.log2(max(n_tiles, 2)) / 2) + 1, 3, 14))
 
 
+def _initial_radius(stats: dict, res: int, k_max: int, target_mult: float = 3.0) -> int:
+    """Smallest disk radius whose expected candidate count is
+    >= target_mult * k, from the measured tile density: occupancy over
+    the data bbox x tiles-per-occupied-cell."""
+    n = 1 << res
+    n_tiles, occ = max(stats["n"], 1), max(stats["occ"], 1)
+    bx = max((stats["lon1"] - stats["lon0"]) / 360.0 * n, 0.0) + 1.0
+    by = max((stats["lat1"] - stats["lat0"]) / 180.0 * n, 0.0) + 1.0
+    occupancy = min(occ / (bx * by), 1.0)
+    per_cell = n_tiles / occ
+    density = occupancy * per_cell  # expected tiles per grid cell
+    if density <= 0:
+        return 1
+    need = target_mult * k_max / density
+    r = int(np.ceil((np.sqrt(need) - 1.0) / 2.0))
+    return int(np.clip(r, 1, max(n // 2, 1)))
+
+
+def _shell_pdf(q: pd.DataFrame, res: int, r0: int, r1: int) -> pd.DataFrame:
+    """Exploded (query_id, qlon, qlat, k, cell) shell pairs for all
+    rows of the active query frame — driver NumPy, fully vectorized."""
+    idx, shell = cells.cell_shell_batch(q["qcell"].to_numpy(), res, r0, r1)
+    return pd.DataFrame(
+        {
+            "query_id": q["query_id"].to_numpy()[idx],
+            "qlon": q["lon"].to_numpy()[idx],
+            "qlat": q["lat"].to_numpy()[idx],
+            "k": q["k"].to_numpy()[idx].astype(np.int32),
+            "cell": shell,
+        }
+    ).drop_duplicates(["query_id", "cell"])
+
+
 def knn_join(
     spark: SparkSession,
     tiles: DataFrame,
-    queries: DataFrame,
+    queries: DataFrame | pd.DataFrame,
     res: int | None = None,
     n_tiles_hint: int | None = None,
-    max_ring: int = 8,
+    max_rounds: int = 3,
 ) -> DataFrame:
     """k nearest tiles per query point.
 
-    tiles: (image_id, lon, lat); queries: (query_id, lon, lat, k).
+    tiles: (image_id, lon, lat); queries: (query_id, lon, lat, k) —
+    a Spark or pandas DataFrame (the query side is driver-resident).
     Returns (query_id, rank, image_id, dist_km), ordered by
     (query_id, rank).
     """
@@ -109,27 +117,42 @@ def knn_join(
         res = default_res(n_hint)
     n_grid = 1 << res
 
+    q = queries if isinstance(queries, pd.DataFrame) else queries.toPandas()
+    q = q[["query_id", "lon", "lat", "k"]].copy()
+    if len(q) == 0:
+        return spark.createDataFrame([], _OUT_SCHEMA)
+    q["qcell"] = cells.cell_encode(q["lon"].to_numpy(), q["lat"].to_numpy(), res)
+
     tiles_c = (
         tiles.select("image_id", "lon", "lat")
-        .withColumn("cell", cell_encode_udf(res)(F.col("lon"), F.col("lat")))
+        .withColumn("cell", cell_encode_col(F.col("lon"), F.col("lat"), res))
         .persist()
     )
-    tiles_c.count()  # materialize once
-
-    active = (
-        queries.select("query_id", "lon", "lat", F.col("k").cast("int").alias("k"))
-        .withColumn("qcell", cell_encode_udf(res)(F.col("lon"), F.col("lat")))
-        .persist()
+    # one aggregate materializes the index AND measures density
+    stats = (
+        tiles_c.agg(
+            F.count("*").alias("n"),
+            F.approx_count_distinct("cell").alias("occ"),
+            F.min("lon").alias("lon0"),
+            F.max("lon").alias("lon1"),
+            F.min("lat").alias("lat0"),
+            F.max("lat").alias("lat1"),
+        )
+        .collect()[0]
+        .asDict()
     )
-    n_active = active.count()
 
     w = Window.partitionBy("query_id").orderBy(F.col("dist_km").asc(), F.col("image_id").asc())
-    topk = None  # accumulated per-query top-k so far
-    finalized = []
-    r_prev, r_cur = -1, 1
+    topk: DataFrame | None = None  # accumulated per-query top-k so far
+    finalized: list[DataFrame] = []
+    persisted: list[DataFrame] = []
+    active = q
+    r_prev = -1
+    r_cur = _initial_radius(stats, res, int(q["k"].max()))
+    rounds = 0
 
-    while n_active > 0 and r_prev < min(max_ring, n_grid):
-        shell = active.mapInArrow(_shell_expand(res, r_prev, r_cur), _SHELL_SCHEMA)
+    while len(active) > 0 and stats["n"] > 0 and rounds < max_rounds and r_prev < n_grid:
+        shell = spark.createDataFrame(_shell_pdf(active, res, r_prev, r_cur), _SHELL_SCHEMA)
         cand = (
             F.broadcast(shell)
             .join(tiles_c, "cell")
@@ -145,60 +168,61 @@ def knn_join(
             )
         )
         pool = cand if topk is None else topk.unionByName(cand)
-        new_topk = (
+        topk = (
             pool.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= F.col("k"))
             .drop("rank")
             .persist()
         )
-        if topk is not None:
-            topk.unpersist()
-        topk = new_topk
+        persisted.append(topk)
 
-        # resolution test: kth distance within the explored-disk bound
-        r_done = r_cur
-
-        @F.pandas_udf(T.DoubleType())
-        def bound_udf(qlat: pd.Series) -> pd.Series:
-            return pd.Series(cells.knn_bound_km(qlat.to_numpy(), res, r_done))
-
-        stats = topk.groupBy("query_id").agg(
-            F.count("*").alias("n"), F.max("dist_km").alias("kth"), F.first("qlat").alias("qlat"),
+        # ONE distributed action per round: per-query aggregates to the
+        # driver (4 scalars per active query); bound test is driver NumPy
+        qstats = topk.groupBy("query_id").agg(
+            F.count("*").alias("n"),
+            F.max("dist_km").alias("kth"),
+            F.first("qlat").alias("qlat"),
             F.first("k").alias("kk"),
-        )
-        done_ids = stats.where(
-            ((F.col("n") >= F.col("kk")) & (F.col("kth") <= bound_udf(F.col("qlat"))))
-            | F.lit(2 * r_cur + 1 >= n_grid)
-        ).select("query_id")
+        ).collect()
+        whole_grid = 2 * r_cur + 1 >= n_grid
+        if whole_grid:
+            # explored disk covers the grid: every active query is done
+            # (queries with zero candidates included — empty result)
+            finalized.append(topk)
+            active = active.iloc[0:0]
+            break
+        if qstats:
+            qa = np.array([[s["n"], s["kth"], s["qlat"], s["kk"]] for s in qstats])
+            bound = cells.knn_bound_km(qa[:, 2], res, r_cur)
+            done_ids = [
+                int(s["query_id"])
+                for s, d in zip(qstats, (qa[:, 0] >= qa[:, 3]) & (qa[:, 1] <= bound))
+                if d
+            ]
+        else:
+            done_ids = []
+        if done_ids:
+            finalized.append(topk.where(F.col("query_id").isin(done_ids)))
+            topk = topk.where(~F.col("query_id").isin(done_ids))
+            active = active[~active["query_id"].isin(done_ids)]
+        rounds += 1
+        r_prev, r_cur = r_cur, min(r_cur * 3, n_grid)
 
-        # materialize finalized rows eagerly: later rounds unpersist the
-        # frames this selection was derived from, and the caller's
-        # actions must not replay the whole loop
-        done_rows = (
-            topk.join(F.broadcast(done_ids), "query_id", "left_semi")
-            .select("query_id", "image_id", "dist_km")
-            .persist()
-        )
-        done_rows.count()
-        finalized.append(done_rows)
-        remaining = active.join(F.broadcast(done_ids), "query_id", "left_anti").persist()
-        n_active = remaining.count()
-        active.unpersist()
-        active = remaining
-        topk = topk.join(F.broadcast(done_ids), "query_id", "left_anti")
-
-        r_prev, r_cur = r_cur, r_cur * 2
-
-    if n_active > 0:
+    if len(active) > 0:
         # stragglers: one exact brute-force pass — broadcast the few
         # unresolved queries against the tile table (complete by
         # construction, so the partial ring candidates are dropped)
+        straggler = spark.createDataFrame(
+            active[["query_id", "lon", "lat", "k"]].rename(
+                columns={"lon": "qlon", "lat": "qlat"}
+            ),
+            "query_id long, qlon double, qlat double, k int",
+        )
         brute = (
-            tiles_c.crossJoin(
-                F.broadcast(active.select("query_id", F.col("lon").alias("qlon"),
-                                          F.col("lat").alias("qlat"), "k"))
-            )
+            tiles_c.crossJoin(F.broadcast(straggler))
             .select(
                 "query_id",
+                "qlon",
+                "qlat",
                 "k",
                 "image_id",
                 haversine_col(F.col("qlon"), F.col("qlat"), F.col("lon"), F.col("lat")).alias(
@@ -207,22 +231,18 @@ def knn_join(
             )
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= F.col("k"))
-            .select("query_id", "image_id", "dist_km")
-            .persist()
+            .drop("rank")
         )
-        brute.count()
         finalized.append(brute)
 
     if not finalized:
-        return spark.createDataFrame(
-            [], "query_id long, rank int, image_id string, dist_km double"
-        )
+        tiles_c.unpersist()
+        return spark.createDataFrame([], _OUT_SCHEMA)
     out = finalized[0]
     for f in finalized[1:]:
         out = out.unionByName(f)
     result = (
         out.withColumn("rank", F.row_number().over(w))
-        .join(F.broadcast(queries.select("query_id", "k")), "query_id")
         .where(F.col("rank") <= F.col("k"))
         .select("query_id", "rank", "image_id", "dist_km")
         .orderBy("query_id", "rank")
@@ -230,7 +250,6 @@ def knn_join(
     )
     result.count()
     tiles_c.unpersist()
-    active.unpersist()
-    for f in finalized:
+    for f in persisted:
         f.unpersist()
     return result

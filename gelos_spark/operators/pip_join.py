@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from gelos_spark.functions import cells
-from gelos_spark.functions.cell_udfs import cell_encode_udf, cell_parent_col
+from gelos_spark.functions.cell_udfs import cell_encode_col, cell_parent_col
 from gelos_spark.functions.geometry import points_in_polygon
 
 TILE_RES = 16  # fine tile cell resolution (~600 m cells); prefix-shifts to any coarser res
@@ -123,7 +123,9 @@ def pip_join(
         cover = F.broadcast(cover)
 
     if tile_cell_col is None:
-        tiles = tiles.withColumn("_cell", cell_encode_udf(TILE_RES)(F.col("lon"), F.col("lat")))
+        # pure JVM column expression — the coarse phase runs entirely in
+        # whole-stage codegen; Python appears only in the refine UDF
+        tiles = tiles.withColumn("_cell", cell_encode_col(F.col("lon"), F.col("lat"), TILE_RES))
         tile_cell_col = "_cell"
     pts = tiles.select(
         "image_id",

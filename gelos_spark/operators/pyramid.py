@@ -128,26 +128,40 @@ def vector_pyramid(
     tiles_with_cell: DataFrame, leaf_res: int, min_res: int, cat_col: str = "lulc"
 ) -> DataFrame:
     """Vector side of the pyramid: per-cell tile counts + per-category
-    counts at every zoom level, produced as ONE multi-level
-    aggregation from the leaf cells (each level is a pure column
-    right-shift — no UDF, partial aggregation map-side combines).
-    Returns (res, cell, n_tiles, n_cat) ordered."""
-    per_level = []
-    for res in range(leaf_res, min_res - 1, -1):
-        per_level.append(
-            tiles_with_cell.groupBy(
-                cell_parent_col(F.col("cell"), leaf_res, res).alias("cell")
-            )
+    counts at every zoom level.
+
+    Scale design: the FULL tile table shuffles exactly once — the leaf
+    aggregation on cell (map-side combine collapses each partition to
+    its distinct leaf cells first). Every coarser level re-aggregates
+    the level below it (a table ~4x smaller each step): parent counts
+    sum child counts, parent category sets union child sets; each step
+    is a pure right-shift groupBy, so the whole pyramid costs one big
+    shuffle + log(levels) tiny ones, instead of one full-table shuffle
+    per level. Returns (res, cell, n_tiles, n_cat) ordered."""
+    leaf = (
+        tiles_with_cell.groupBy("cell")
+        .agg(F.count("*").alias("n_tiles"), F.collect_set(cat_col).alias("cats"))
+        .withColumn("res", F.lit(leaf_res))
+        .persist()
+    )
+    levels = [leaf]
+    cur = leaf
+    for res in range(leaf_res - 1, min_res - 1, -1):
+        cur = (
+            cur.groupBy(cell_parent_col(F.col("cell"), res + 1, res).alias("cell"))
             .agg(
-                F.count("*").alias("n_tiles"),
-                F.countDistinct(cat_col).alias("n_cat"),
+                F.sum("n_tiles").alias("n_tiles"),
+                F.array_distinct(F.flatten(F.collect_list("cats"))).alias("cats"),
             )
             .withColumn("res", F.lit(res))
         )
-    out = per_level[0]
-    for df in per_level[1:]:
+        levels.append(cur)
+    out = levels[0]
+    for df in levels[1:]:
         out = out.unionByName(df)
-    return out.select("res", "cell", "n_tiles", "n_cat").orderBy("res", "cell")
+    return out.select(
+        "res", "cell", "n_tiles", F.size("cats").cast("long").alias("n_cat")
+    ).orderBy("res", "cell")
 
 
 def merge_pyramids(a: DataFrame, b: DataFrame) -> DataFrame:

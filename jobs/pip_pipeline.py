@@ -11,7 +11,7 @@ Stages (each committed to a SnapshotTable + checkpoint lineage rows;
 re-running with the same --run-id skips completed stages):
   tiles   seeded synthetic tracker (counter-based RNG — identical
           bytes at any parallelism)
-  cells   res-16 Morton cell id per tile (vectorized pandas UDF)
+  cells   res-16 Morton cell id per tile (pure JVM column expression)
   assign  PIP join against the AOI set (broadcast cover + exact
           ray-cast refine), ordered output
 
@@ -46,7 +46,7 @@ def main():
     args = ap.parse_args()
 
     from gelos_spark.operators.pip_join import TILE_RES, pip_join
-    from gelos_spark.functions.cell_udfs import cell_encode_udf
+    from gelos_spark.functions.cell_udfs import cell_encode_col
     from gelos_spark.plans.checkpoint import Pipeline
     from gelos_spark.session import get_spark
     from gelos_spark.sources import synth
@@ -72,7 +72,7 @@ def main():
     cells = timed(
         "cells",
         lambda sp: pipe.output("tiles").withColumn(
-            "cell", cell_encode_udf(TILE_RES)(F.col("lon"), F.col("lat"))
+            "cell", cell_encode_col(F.col("lon"), F.col("lat"), TILE_RES)
         ),
     )
     if args.stop_after == "cells":

@@ -114,3 +114,33 @@ def test_polygon_cover_superset_of_inside_cells():
     # pruning actually prunes vs the plain bbox
     bbox = cells.cover_bbox(0.0, 0.0, 5.0, 5.0, res)
     assert len(cover) < len(bbox)
+
+
+def test_cell_encode_col_matches_numpy_kernel(spark):
+    """The JVM column-expression encoder must be bit-identical to the
+    NumPy kernel at several resolutions, including edge coordinates."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from gelos_spark.functions import cells
+    from gelos_spark.functions.cell_udfs import cell_encode_col
+
+    rng = np.random.default_rng(7)
+    lon = np.concatenate(
+        [rng.uniform(-180, 180, 500), [-180.0, 179.999999, 0.0, -0.0, 180.0, 359.5]]
+    )
+    lat = np.concatenate(
+        [rng.uniform(-90, 90, 500), [-90.0, 89.999999, 0.0, -0.0, 90.0, -89.999999]]
+    )
+    df = spark.createDataFrame(pd.DataFrame({"lon": lon, "lat": lat}))
+    for res in (1, 7, 16, 26):
+        got = np.array(
+            [
+                r.c
+                for r in df.select(
+                    cell_encode_col(F.col("lon"), F.col("lat"), res).alias("c")
+                ).collect()
+            ]
+        )
+        want = cells.cell_encode(lon, lat, res)
+        assert (got == want).all(), f"mismatch at res {res}"
