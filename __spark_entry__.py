@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gelos_spark.functions import text as tx
-from gelos_spark.functions.cell_udfs import cell_encode_udf, cell_parent_col
+from gelos_spark.functions.cell_udfs import cell_encode_col, cell_encode_udf, cell_parent_col
 from gelos_spark.functions.geometry import haversine_col, haversine_sql, pip_sql
 from gelos_spark.operators import dedup, similarity
 from gelos_spark.operators.knn_join import knn_join
@@ -753,7 +753,133 @@ def _embedding_dup_pairs(spark, sf_dir):
     return dedup.embedding_dup_pairs(emb, min_cosine=_DUP_MIN_COS, block_col="label")
 
 
+@_q(
+    "array_flatten",
+    "SELECT vec_id, flatten([list_slice(embedding, 1, 8), list_slice(embedding, 9, 16)]) "
+    "AS flat, len(flatten([list_slice(embedding, 1, 8), list_slice(embedding, 9, 16)])) "
+    "AS width FROM embeddings",
+)
+def _array_flatten(spark, sf_dir):
+    # F2: recursive flatten + fixed-width check (SURVEY.md §2.7)
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    flat = F.flatten(F.array(F.slice("embedding", 1, 8), F.slice("embedding", 9, 8)))
+    return emb.select(
+        "vec_id", flat.alias("flat"), F.size(flat).cast("long").alias("width")
+    )
+
+
+@_q(
+    "scan_tracker",
+    "SELECT c_custkey, c_name, c_mktsegment FROM customer",
+)
+def _scan_tracker(spark, sf_dir):
+    # S1: extension-dispatch tracker scan — materialize the tracker as
+    # CSV (the reference's tabular shape) and read it back through the
+    # dispatching source; values must round-trip exactly
+    (customer,) = _tables(spark, sf_dir, "customer")
+    import tempfile
+
+    from gelos_spark.sources.tracker import read_tracker
+
+    path = f"{tempfile.gettempdir()}/gelos_scan_tracker.csv"
+    customer.select("c_custkey", "c_name", "c_mktsegment").coalesce(1).write.mode(
+        "overwrite"
+    ).option("header", True).csv(path)
+    return read_tracker(spark, path, schema="c_custkey long, c_name string, c_mktsegment string")
+
+
+_MASK_KEEP = 8
+
+
+@_q(
+    "mask_topk",
+    "WITH p AS (SELECT vec_id, unnest(list_transform(range(1, len(embedding) + 1), "
+    "i -> {'pos': i, 'val': embedding[i]})) AS u FROM embeddings), "
+    "e AS (SELECT vec_id, u.pos AS pos, u.val AS val FROM p), "
+    "r AS (SELECT vec_id, pos, val, row_number() OVER (PARTITION BY vec_id "
+    "ORDER BY (vec_id * 2654435761 + pos * 40503) % 4294967296, pos) AS rn FROM e) "
+    f"SELECT vec_id, list(val ORDER BY pos) AS kept FROM r WHERE rn <= {_MASK_KEEP} "
+    "GROUP BY vec_id",
+)
+def _mask_topk(spark, sf_dir):
+    # W4: random-mask top-k (keep len_keep of argsort(noise), restore
+    # original order) — noise = deterministic integer hash shared with
+    # the oracle, so both engines keep identical positions
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+    h = (F.col("vec_id") * F.lit(2654435761) + (F.col("pos") + 1) * F.lit(40503)) % F.lit(
+        4294967296
+    )
+    w = Window.partitionBy("vec_id").orderBy(h.asc(), F.col("pos").asc())
+    kept = e.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= _MASK_KEEP)
+    return kept.groupBy("vec_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "val"))), lambda s: s["val"]
+        ).alias("kept")
+    )
+
+
 # ---------------------------------- rows-only checks (no SQL analog)
+
+
+@_q("scan_images_decode")
+def _scan_images_decode(spark, sf_dir):
+    # S2: binary payload scan + vectorized decode (no DuckDB analog —
+    # the codec is engine-side); correctness is pytest's job
+    # (tests/test_images_ops.py), this exercises the distributed path
+    from gelos_spark.operators import images as imops
+    from gelos_spark.sources import synth
+
+    return imops.decode_stats(synth.images_df(spark, 256, w=32, seed=42, parts=8))
+
+
+@_q("agg_psnr")
+def _agg_psnr(spark, sf_dir):
+    # A5/F9: PSNR>=40dB payload invariant as a queryable metric
+    from gelos_spark.operators import images as imops
+    from gelos_spark.sources import synth
+
+    return imops.psnr_roundtrip(
+        synth.images_df(spark, 256, w=32, seed=42, parts=8), fmt="qdct"
+    )
+
+
+@_q("perturb")
+def _perturb(spark, sf_dir):
+    # F6: seeded Gaussian band perturbation, partition-layout-invariant
+    from gelos_spark.operators import images as imops
+    from gelos_spark.sources import synth
+
+    out = imops.perturb_bands(
+        synth.images_df(spark, 128, w=32, seed=42, parts=4), bands=(1,), seed=7
+    )
+    return out.select("image_id", "w", "h", "fmt", "phash")
+
+
+@_q("checkpoint_lineage")
+def _checkpoint_lineage(spark, sf_dir):
+    # S9/J6/§2.9: per-partition lineage rows from a 2-stage
+    # checkpointed pipeline (fresh run dir each call -> deterministic
+    # row count: 1 file row + 1 done marker per stage)
+    import shutil
+    import tempfile
+
+    from gelos_spark.plans.checkpoint import Pipeline
+    from gelos_spark.sources import synth
+
+    root = f"{tempfile.gettempdir()}/gelos_lineage_q"
+    shutil.rmtree(root, ignore_errors=True)
+    pipe = Pipeline(spark, root, "oracle")
+    pipe.stage("tiles", lambda sp: synth.tracker_df(sp, 500, seed=42).coalesce(1))
+    pipe.stage(
+        "cells",
+        lambda sp: pipe.output("tiles").withColumn(
+            "cell", cell_encode_col(F.col("lon"), F.col("lat"), 12)
+        ).coalesce(1),
+    )
+    return pipe.log.lineage("oracle").select("stage", "rows_out", "status").orderBy(
+        "stage", "status"
+    )
 
 @_q("minhash_lsh_pairs")
 def _minhash_lsh_pairs(spark, sf_dir):

@@ -28,7 +28,7 @@ from gelos_spark.operators.knn_join import knn_join
 from gelos_spark.operators.pip_join import pip_join
 from gelos_spark.operators.pyramid import vector_pyramid
 from gelos_spark.operators import dedup, similarity
-from gelos_spark.functions.cell_udfs import cell_encode_udf
+from gelos_spark.functions.cell_udfs import cell_encode_col
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -74,7 +74,7 @@ def main():
         "q_pyramid",
         lambda: materialize(
             vector_pyramid(
-                li_pts.withColumn("cell", cell_encode_udf(8)(F.col("lon"), F.col("lat"))),
+                li_pts.withColumn("cell", cell_encode_col(F.col("lon"), F.col("lat"), 8)),
                 8,
                 2,
                 cat_col="cat",

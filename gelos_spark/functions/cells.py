@@ -240,15 +240,27 @@ def cover_bbox(lon_min: float, lat_min: float, lon_max: float, lat_max: float, r
 def polygon_cover(ring: np.ndarray, res: int, prune: bool = True) -> np.ndarray:
     """Cells at res ``res`` whose rectangle may intersect the polygon
     (SURVEY.md §2.6 G6). Starts from the bbox cover; when ``prune`` is
-    set, drops cells that provably do not touch the polygon (no
-    polygon vertex inside the cell, no cell corner inside the polygon,
-    no edge crossing the cell's x/y spans)."""
+    set, drops cells that provably do not touch the polygon."""
+    cells, _ = polygon_cover_classified(np.asarray(ring, dtype=np.float64), res, prune=prune)
+    return cells
+
+
+def polygon_cover_classified(
+    ring: np.ndarray, res: int, prune: bool = True
+) -> tuple[np.ndarray, np.ndarray]:
+    """Polygon cover with an INTERIOR flag per cell (SURVEY.md §2.6 G6).
+
+    Returns (cells, interior). A cell is interior when all four of its
+    corners are inside the polygon AND no polygon edge's bbox overlaps
+    the cell rect — every point of such a cell is provably inside, so
+    the PIP join can skip ray-cast refinement for its tiles (the bulk
+    of any large AOI's area). Cells kept but not interior are boundary
+    cells (no polygon vertex inside, no corner inside, no overlapping
+    edge -> dropped entirely)."""
     from gelos_spark.functions.geometry import points_in_polygon
 
     ring = np.asarray(ring, dtype=np.float64)
     cells = cover_bbox(ring[:, 0].min(), ring[:, 1].min(), ring[:, 0].max(), ring[:, 1].max(), res)
-    if not prune or len(cells) <= 4:
-        return cells
     lon0, lat0, lon1, lat1 = cell_bounds(cells, res)
     # (a) any polygon vertex inside the cell rect
     vx, vy = ring[:, 0], ring[:, 1]
@@ -258,14 +270,15 @@ def polygon_cover(ring: np.ndarray, res: int, prune: bool = True) -> np.ndarray:
         & (vy[None, :] >= lat0[:, None])
         & (vy[None, :] < lat1[:, None])
     ).any(axis=1)
-    # (b) any cell corner inside the polygon
+    # (b) cell corners inside the polygon
     corners_lon = np.stack([lon0, lon1, lon0, lon1], axis=1).ravel()
     corners_lat = np.stack([lat0, lat0, lat1, lat1], axis=1).ravel()
-    corner_in = points_in_polygon(corners_lon, corners_lat, ring).reshape(-1, 4).any(axis=1)
-    # (c) any polygon edge intersecting the cell rect (segment-rect test)
+    corner_in = points_in_polygon(corners_lon, corners_lat, ring).reshape(-1, 4)
+    any_corner_in = corner_in.any(axis=1)
+    all_corners_in = corner_in.all(axis=1)
+    # (c) any polygon edge's bbox overlapping the cell rect
     ex0, ey0 = vx, vy
     ex1, ey1 = np.roll(vx, -1), np.roll(vy, -1)
-    # quick reject per (cell, edge): bbox overlap
     emin_x, emax_x = np.minimum(ex0, ex1), np.maximum(ex0, ex1)
     emin_y, emax_y = np.minimum(ey0, ey1), np.maximum(ey0, ey1)
     overlap = (
@@ -273,6 +286,9 @@ def polygon_cover(ring: np.ndarray, res: int, prune: bool = True) -> np.ndarray:
         & (emax_x[None, :] >= lon0[:, None])
         & (emin_y[None, :] <= lat1[:, None])
         & (emax_y[None, :] >= lat0[:, None])
-    )
-    keep = has_vertex | corner_in | overlap.any(axis=1)
-    return cells[keep]
+    ).any(axis=1)
+    interior = all_corners_in & ~overlap & ~has_vertex
+    if not prune or len(cells) <= 4:
+        return cells, interior
+    keep = has_vertex | any_corner_in | overlap
+    return cells[keep], interior[keep]

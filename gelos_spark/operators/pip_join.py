@@ -3,27 +3,45 @@ ray-cast refinement (SURVEY.md §2.3 J4; north rule: "point-in-polygon
 assignment of tile centroids to AOI polygons via cell-prefix hash
 join with ray-casting refinement").
 
-Two-phase plan, designed for the 10^12-tile scale:
+Three-phase plan, designed for the 10^12-tile scale:
 
   1. COARSE: each AOI polygon is covered by quadtree cells at an
-     adaptive resolution (functions/cells.polygon_cover). The exploded
-     (aoi_id, cover_cell) table is tiny relative to tiles, so the join
-     `tiles JOIN cover ON tile_cell_prefix = cover_cell` broadcasts —
-     the tile table is NEVER shuffled; each tile partition streams
-     against the broadcast map. With a huge AOI set the same plan
-     degrades gracefully to a shuffled hash join on cover_cell (drop
-     the broadcast hint) — still keyed on cell id, as the north rule
-     requires.
-  2. REFINE: exact even-odd ray casting, vectorized NumPy inside a
-     scalar pandas UDF, grouped by aoi_id within each Arrow batch.
+     adaptive resolution, each cover cell classified INTERIOR (whole
+     cell provably inside) or boundary
+     (functions/cells.polygon_cover_classified). The exploded
+     (aoi_id, cover_cell, interior) table is tiny relative to tiles,
+     so the join `tiles JOIN cover ON tile_cell_prefix = cover_cell`
+     broadcasts — the tile table is NEVER shuffled; each tile
+     partition streams against the broadcast map. With a huge AOI set
+     the same plan degrades gracefully to a shuffled hash join on
+     cover_cell (drop the broadcast hint) — still keyed on cell id,
+     as the north rule requires.
+  2. INTERIOR SHORTCUT: tiles in interior cells are contained by
+     construction — the bulk of a large AOI's area never reaches the
+     refinement at all.
+  3. REFINE (boundary cells only): exact even-odd ray casting, in two
+     interchangeable implementations with bit-identical results:
+       - refine="sql" (default): RELATIONAL ray-cast — candidates
+         equi-join their polygon's broadcast edge table, the crossing
+         predicate is the same IEEE float64 expression as the NumPy
+         kernel, and a parity groupBy keeps odd crossing counts.
+         Zero Python; whole-stage codegen end to end; the only
+         shuffle is the per-candidate parity aggregate (skew-free:
+         every candidate is its own group).
+       - refine="udf": vectorized NumPy inside a scalar pandas UDF,
+         grouped by aoi_id within each Arrow batch (the mapInArrow
+         surface, SURVEY.md §2.8 U4).
      Only (lon, lat, aoi_id) columns flow through the join — the
      image payload stays out of the shuffle entirely and is
      re-attached by image_id afterwards if the caller needs it
      (SURVEY.md §3.3 design rule).
 
-Determinism: cover affects only performance (refinement is exact);
-output is `orderBy(aoi_id, image_id)` with no floating-point
-reductions, so results are identical at any parallelism level.
+Determinism: cover affects only performance (refinement is exact and
+the interior shortcut only covers cells where ray-cast would return
+true for every point); output is `orderBy(aoi_id, image_id)` with no
+floating-point reductions, so results are identical at any
+parallelism level and across both refine implementations
+(tests/test_pip_join.py).
 """
 
 from __future__ import annotations
@@ -41,7 +59,7 @@ from gelos_spark.functions.geometry import points_in_polygon
 TILE_RES = 16  # fine tile cell resolution (~600 m cells); prefix-shifts to any coarser res
 
 
-def pick_cover_res(aois: list[dict], max_cells_per_aoi: int = 512) -> int:
+def pick_cover_res(aois: list[dict], max_cells_per_aoi: int = 2048) -> int:
     """Adaptive covering resolution: fine enough to prune, coarse
     enough that no AOI explodes into more than ~max_cells."""
     max_extent = 1e-9
@@ -61,22 +79,118 @@ def pick_cover_res(aois: list[dict], max_cells_per_aoi: int = 512) -> int:
 
 
 def build_cover_df(spark: SparkSession, aois: list[dict], cover_res: int) -> DataFrame:
-    """Exploded (aoi_id, cover_cell) DataFrame. Cover generation is
-    driver-side NumPy: the AOI set is the engine's small dimension
-    (SURVEY.md §2.6 G6); at scale with millions of AOIs this same
-    construction runs inside mapInArrow over an AOI DataFrame."""
-    ids, cels = [], []
+    """Exploded (aoi_id, cover_cell, interior) DataFrame. Cover
+    generation is driver-side NumPy: the AOI set is the engine's small
+    dimension (SURVEY.md §2.6 G6); at scale with millions of AOIs this
+    same construction runs inside mapInArrow over an AOI DataFrame.
+
+    ``interior`` marks cells provably fully inside their polygon —
+    tiles landing there skip ray-cast refinement (the bulk of a large
+    AOI's area never touches the Python stage)."""
+    ids, cels, ints = [], [], []
     for p in aois:
-        cover = cells.polygon_cover(np.asarray(p["ring"], dtype=np.float64), cover_res)
+        cover, interior = cells.polygon_cover_classified(
+            np.asarray(p["ring"], dtype=np.float64), cover_res
+        )
         ids.append(np.full(len(cover), p["aoi_id"], dtype=np.int64))
         cels.append(cover)
+        ints.append(interior)
     pdf = pd.DataFrame(
         {
             "aoi_id": np.concatenate(ids) if ids else np.asarray([], dtype=np.int64),
             "cover_cell": np.concatenate(cels) if cels else np.asarray([], dtype=np.int64),
+            "interior": np.concatenate(ints) if ints else np.asarray([], dtype=bool),
         }
     )
-    return spark.createDataFrame(pdf, schema="aoi_id long, cover_cell long")
+    return spark.createDataFrame(pdf, schema="aoi_id long, cover_cell long, interior boolean")
+
+
+def build_edges_df(spark: SparkSession, aois: list[dict]) -> DataFrame:
+    """Exploded polygon-edge table (aoi_id, x1, y1, x2, y2) for the
+    relational ray-cast. Horizontal edges are dropped — they never
+    cross under the half-open rule (same as the NumPy kernel where
+    (y1 > p) != (y2 > p) is always false for y1 == y2)."""
+    rows = []
+    for p in aois:
+        ring = np.asarray(p["ring"], dtype=np.float64)
+        if len(ring) >= 2 and ring[0, 0] == ring[-1, 0] and ring[0, 1] == ring[-1, 1]:
+            ring = ring[:-1]
+        v = len(ring)
+        for i in range(v):
+            x1, y1 = float(ring[i, 0]), float(ring[i, 1])
+            x2, y2 = float(ring[(i + 1) % v, 0]), float(ring[(i + 1) % v, 1])
+            if y1 != y2:
+                rows.append((int(p["aoi_id"]), x1, y1, x2, y2))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["aoi_id", "x1", "y1", "x2", "y2"]),
+        schema="aoi_id long, x1 double, y1 double, x2 double, y2 double",
+    )
+
+
+def build_aoi_edges_df(spark: SparkSession, aois: list[dict]) -> DataFrame:
+    """(aoi_id, edges: array<struct<x1,y1,x2,y2>>) — one row per AOI,
+    edges as an array so the whole polygon rides inside the broadcast
+    and the crossing count becomes a map-side array aggregate."""
+    rows = []
+    for p in aois:
+        ring = np.asarray(p["ring"], dtype=np.float64)
+        if len(ring) >= 2 and ring[0, 0] == ring[-1, 0] and ring[0, 1] == ring[-1, 1]:
+            ring = ring[:-1]
+        v = len(ring)
+        es = []
+        for i in range(v):
+            x1, y1 = float(ring[i, 0]), float(ring[i, 1])
+            x2, y2 = float(ring[(i + 1) % v, 0]), float(ring[(i + 1) % v, 1])
+            if y1 != y2:
+                es.append({"x1": x1, "y1": y1, "x2": x2, "y2": y2})
+        rows.append((int(p["aoi_id"]), es))
+    return spark.createDataFrame(
+        rows,
+        "aoi_id long, edges array<struct<x1 double, y1 double, x2 double, y2 double>>",
+    )
+
+
+def crossing_count_expr(edges: F.Column, lon: F.Column, lat: F.Column) -> F.Column:
+    """Even-odd crossing count as a pure array-aggregate expression —
+    the same IEEE float64 arithmetic as geometry.points_in_polygon,
+    evaluated JVM-side per row with NO join and NO shuffle."""
+    def step(acc: F.Column, e: F.Column) -> F.Column:
+        crossing = ((e["y1"] > lat) != (e["y2"] > lat)) & (
+            lon < (e["x2"] - e["x1"]) * (lat - e["y1"]) / (e["y2"] - e["y1"]) + e["x1"]
+        )
+        return acc + F.when(crossing, F.lit(1)).otherwise(F.lit(0))
+
+    return F.aggregate(edges, F.lit(0), step)
+
+
+def refine_relational(cand: DataFrame, edges: DataFrame, cols: list[str]) -> DataFrame:
+    """Exact even-odd ray-cast as PURE relational algebra — no Python
+    anywhere: candidates x their polygon's edges (broadcast equi-join
+    on aoi_id), keep crossing edges (the same IEEE float64 expression
+    as geometry.points_in_polygon, so results are bit-identical),
+    count crossings per candidate, keep odd parity. Candidates whose
+    polygon has zero crossing edges never survive the inner join —
+    correctly outside. Runs entirely in whole-stage codegen; the only
+    shuffle is the parity groupBy (map-side combined, keyed by the
+    candidate — skew-free because each candidate is its own group)."""
+    crossing = (
+        ((F.col("y1") > F.col("lat")) != (F.col("y2") > F.col("lat")))
+        & (
+            F.col("lon")
+            < (F.col("x2") - F.col("x1"))
+            * (F.col("lat") - F.col("y1"))
+            / (F.col("y2") - F.col("y1"))
+            + F.col("x1")
+        )
+    )
+    return (
+        cand.join(F.broadcast(edges), "aoi_id")
+        .where(crossing)
+        .groupBy(*cols)
+        .agg(F.count("*").alias("_nx"))
+        .where(F.col("_nx") % 2 == 1)
+        .select(*cols)
+    )
 
 
 def contains_udf(spark: SparkSession, aois: list[dict]):
@@ -108,6 +222,8 @@ def pip_join(
     cover_res: int | None = None,
     tile_cell_col: str | None = None,
     broadcast_cover: bool = True,
+    ordered: bool = True,
+    refine: str = "expr",
 ) -> DataFrame:
     """Assign every tile centroid to each AOI polygon containing it.
 
@@ -115,7 +231,10 @@ def pip_join(
     ``tile_cell_col`` naming a precomputed res-TILE_RES cell column to
     skip re-encoding (the base table stores one; SURVEY.md §1.4).
     Returns (aoi_id, image_id, lon, lat), one row per containment,
-    ordered (aoi_id, image_id).
+    ordered (aoi_id, image_id) when ``ordered`` (the comparable-output
+    contract); pass ordered=False for pipeline sinks where row-SET
+    equality is what's verified — a global sort of the assignment
+    table is wasted shuffle at 10^12-tile scale.
     """
     cover_res = cover_res or pick_cover_res(aois)
     cover = build_cover_df(spark, aois, cover_res)
@@ -134,5 +253,35 @@ def pip_join(
         cell_parent_col(F.col(tile_cell_col), TILE_RES, cover_res).alias("cover_cell"),
     )
     coarse = pts.join(cover, "cover_cell")
-    refined = coarse.where(contains_udf(spark, aois)(F.col("aoi_id"), F.col("lon"), F.col("lat")))
-    return refined.select("aoi_id", "image_id", "lon", "lat").orderBy("aoi_id", "image_id")
+    # interior cells are provably contained; only boundary-cell tiles
+    # pay exact ray-casting. Three refine strategies, identical results:
+    #   expr (default) — each AOI's edge array rides in a broadcast and
+    #     the crossing count is a per-row array aggregate: ONE scan,
+    #     ONE broadcast join, ZERO shuffles, zero Python;
+    #   sql — relational ray-cast (refine_relational): broadcast edge
+    #     join + skew-free parity groupBy (one shuffle of candidates);
+    #   udf — vectorized NumPy pandas UDF (the mapInArrow surface; the
+    #     split is explicit because Catalyst extracts Python UDFs into
+    #     their own stage — an OR would push every row through Python).
+    cols = ["aoi_id", "image_id", "lon", "lat"]
+    if refine == "expr":
+        aoi_edges = F.broadcast(build_aoi_edges_df(spark, aois))
+        out = (
+            coarse.join(aoi_edges, "aoi_id")
+            .where(
+                F.col("interior")
+                | (crossing_count_expr(F.col("edges"), F.col("lon"), F.col("lat")) % 2 == 1)
+            )
+            .select(*cols)
+        )
+        return out.orderBy("aoi_id", "image_id") if ordered else out
+    inside = coarse.where(F.col("interior")).select(*cols)
+    bnd = coarse.where(~F.col("interior"))
+    if refine == "sql":
+        boundary = refine_relational(bnd.select(*cols), build_edges_df(spark, aois), cols)
+    else:
+        boundary = bnd.where(
+            contains_udf(spark, aois)(F.col("aoi_id"), F.col("lon"), F.col("lat"))
+        ).select(*cols)
+    out = inside.unionByName(boundary)
+    return out.orderBy("aoi_id", "image_id") if ordered else out

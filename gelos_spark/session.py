@@ -41,7 +41,14 @@ def get_spark(
         # decoded 3-channel uint8 tiles are ~12KB-200KB each; cap Arrow
         # batches so payload stages stay bounded-memory (SURVEY.md §4)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # local-scale scan granularity: default 128MB packs a whole
+        # bench table into 1-2 input splits, serializing every narrow
+        # stage downstream of a scan (broadcast joins, pandas-UDF
+        # refine). 16MB yields >= cores splits at bench sizes; a real
+        # cluster keeps the default (TB inputs -> thousands of splits).
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

@@ -182,10 +182,12 @@ def tracker_df(spark: SparkSession, n: int, seed: int = 42, parts: int | None = 
     return rng_df.mapInArrow(gen, TRACKER_SCHEMA)
 
 
-def aoi_polygons(m: int, seed: int = 42) -> list[dict]:
+def aoi_polygons(m: int, seed: int = 42, vertices: int | None = None) -> list[dict]:
     """Seeded convex-ish AOI polygons (driver-side — AOI sets are the
     small/broadcast dimension). Centers biased toward the hot clusters
-    so PIP actually intersects the skewed mass."""
+    so PIP actually intersects the skewed mass. ``vertices`` fixes the
+    ring size (real AOIs — admin boundaries, watersheds — run to
+    hundreds of vertices); default draws 5-12."""
     rng = np.random.default_rng(seed + 1000)
     centers = _cluster_centers(seed)
     out = []
@@ -194,7 +196,7 @@ def aoi_polygons(m: int, seed: int = 42) -> list[dict]:
             c = centers[rng.integers(0, N_HOT_CLUSTERS)] + rng.normal(0, 0.3, 2)
         else:
             c = np.asarray([rng.uniform(-60, 60), rng.uniform(-50, 50)])
-        nv = int(rng.integers(5, 13))
+        nv = int(vertices) if vertices else int(rng.integers(5, 13))
         radius = rng.uniform(0.2, 3.0)
         angles = np.sort(rng.uniform(0, 2 * np.pi, nv))
         radii = radius * rng.uniform(0.6, 1.0, nv)

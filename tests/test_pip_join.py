@@ -60,3 +60,18 @@ def test_pick_cover_res_bounds():
     aois = synth.aoi_polygons(16, seed=42)
     res = pick_cover_res(aois)
     assert 3 <= res <= 16
+
+
+def test_refine_variants_identical(spark):
+    """All three ray-cast refine implementations (expr array-aggregate,
+    sql parity join, NumPy pandas UDF) must produce identical
+    assignment sets."""
+    tracker = synth.tracker_df(spark, 3000, seed=11)
+    aois = synth.aoi_polygons(10, seed=11)
+    a = pip_join(spark, tracker, aois, refine="expr").collect()
+    b = pip_join(spark, tracker, aois, refine="udf").collect()
+    c = pip_join(spark, tracker, aois, refine="sql").collect()
+    ka = [(r.aoi_id, r.image_id) for r in a]
+    kb = [(r.aoi_id, r.image_id) for r in b]
+    kc = [(r.aoi_id, r.image_id) for r in c]
+    assert ka == kb == kc and len(ka) > 0
