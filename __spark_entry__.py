@@ -819,6 +819,61 @@ def _mask_topk(spark, sf_dir):
     )
 
 
+@_q(
+    "stream_window_counts",
+    _cell_cte(
+        "SELECT CAST(event_id AS VARCHAR) AS image_id, "
+        f"{_coord_sql('event_id', _LON)} AS lon, {_coord_sql('event_id', _LAT)} AS lat, ts "
+        "FROM events",
+        5,
+        carry="image_id, lon, lat, ts",
+    )
+    + "\nSELECT date_trunc('hour', ts) AS win_start, "
+    "date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end, cell, "
+    "count(*) AS n_tiles FROM mz GROUP BY date_trunc('hour', ts), cell",
+)
+def _stream_window_counts(spark, sf_dir):
+    # Structured-Streaming ingest (availableNow over the static events
+    # table => processes everything exactly once, so the watermarked
+    # windowed cell counts equal the batch GROUP BY — the oracle)
+    from gelos_spark.streaming import ingest
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    schema = batch.schema
+    # file streaming sources need a DIRECTORY; the testdata table is a
+    # single file -> expose it through a symlink dir
+    import os
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), f"gelos_stream_events_{abs(hash(sf_dir))}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    stream = spark.readStream.schema(schema).parquet(d)
+    pts = stream.select(
+        F.col("event_id").cast("string").alias("image_id"),
+        _coord_col("event_id", _LON).alias("lon"),
+        _coord_col("event_id", _LAT).alias("lat"),
+        # events.ts is TIMESTAMP_NTZ; watermarks need TIMESTAMP (session
+        # tz is UTC, so the cast is value-identity)
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    counts = ingest.windowed_cell_counts(
+        pts, res=16, agg_res=5, window="1 hour", watermark="2 hours"
+    )
+    name = "stream_window_counts_sink"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 # ---------------------------------- rows-only checks (no SQL analog)
 
 

@@ -264,7 +264,13 @@ def minhash_lsh_pairs(
     >= min_jaccard, deduped across bands, ordered.
     """
     rows_per_band = num_hashes // bands
-    sigs = docs.select(
+    # signature hashing is the CPU-heavy stage: spread it across the
+    # cluster even when the (small on disk, heavy to process) text
+    # table arrives as a single scan split
+    spark = docs.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    src = docs.repartition(par) if docs.rdd.getNumPartitions() < par else docs
+    sigs = src.select(
         F.col(id_col).alias("id"), minhash_udf(num_hashes, shingle_k, seed)(F.col(text_col)).alias("sig")
     ).persist()
 
@@ -323,7 +329,9 @@ def simhash_pairs(
     (band, band_bits), verify exact Hamming with bit_count (JVM)."""
     nb = max_hamming + 1
     width = 64 // nb
-    sh = docs.select(F.col(id_col).alias("id"), simhash_udf(seed)(F.col(text_col)).alias("sh"))
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    src = docs.repartition(par) if docs.rdd.getNumPartitions() < par else docs
+    sh = src.select(F.col(id_col).alias("id"), simhash_udf(seed)(F.col(text_col)).alias("sh"))
     bands = []
     for b in range(nb):
         bands.append(

@@ -1,0 +1,92 @@
+"""Structured-Streaming tile ingest (engine extension beyond the
+reference — SURVEY.md §2.9 notes the reference is batch-only with
+resume markers; these are the streaming equivalents the brief's
+Spark-first design calls for).
+
+Three composable pieces, all built on the SAME kernels as the batch
+path (the JVM Morton encoder works unchanged under streaming because
+it is a pure column expression — no Python, no state):
+
+  - ``stream_encode``: readStream source -> cell_encode -> event-time
+    projection. Any streaming source (file drop-dir, rate, Kafka)
+    whose rows carry (image_id, lon, lat, ts).
+  - ``windowed_cell_counts``: watermarked tumbling-window counts per
+    coarse cell — the streaming twin of the vector pyramid's leaf
+    aggregation (late data beyond the watermark is dropped, the
+    standard completeness/latency trade).
+  - ``stream_dedup``: drop duplicate image_ids within the watermark
+    horizon (stateful built-in dropDuplicatesWithinWatermark-style via
+    dropDuplicates on a watermarked stream).
+  - ``sink_to_snapshot``: foreachBatch sink committing each micro-batch
+    to a SnapshotTable partition keyed by batch id — atomic, and
+    idempotent on micro-batch replay (overwrite_partition), the same
+    exactly-once recipe the batch checkpoint layer uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gelos_spark.functions.cell_udfs import cell_encode_col
+
+STREAM_SCHEMA = "image_id string, lon double, lat double, ts timestamp"
+
+
+def stream_encode(stream: DataFrame, res: int = 16) -> DataFrame:
+    """Attach the Morton cell id to a streaming tile-metadata frame —
+    identical expression (and therefore identical ids) to the batch
+    path."""
+    return stream.withColumn("cell", cell_encode_col(F.col("lon"), F.col("lat"), res))
+
+
+def windowed_cell_counts(
+    stream: DataFrame,
+    res: int = 16,
+    agg_res: int = 6,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Tumbling event-time window x coarse cell -> tile counts, with a
+    watermark bounding state. Output columns:
+    (win_start, win_end, cell, n_tiles)."""
+    enc = stream_encode(stream, res)
+    coarse = F.shiftrightunsigned(F.col("cell"), 2 * (res - agg_res)).alias("cell")
+    return (
+        enc.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), coarse)
+        .agg(F.count("*").alias("n_tiles"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "cell",
+            "n_tiles",
+        )
+    )
+
+
+def stream_dedup(stream: DataFrame, watermark: str = "2 minutes") -> DataFrame:
+    """Keep the first arrival per image_id within the watermark
+    horizon (bounded state — the streaming analog of exact dedup)."""
+    return stream.withWatermark("ts", watermark).dropDuplicates(["image_id"])
+
+
+def sink_to_snapshot(df: DataFrame, table_root: str, query_name: str, checkpoint: str):
+    """writeStream via foreachBatch into a SnapshotTable: each
+    micro-batch commits atomically as partition ``batch-{id}``;
+    replays of the same micro-batch (after a crash between the data
+    write and Spark's own offset commit) OVERWRITE rather than
+    double-append — end-to-end idempotent."""
+    from gelos_spark.tables.snapshot import SnapshotTable
+
+    table = SnapshotTable(table_root)
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        table.overwrite_partition(batch_df, partition=f"batch-{batch_id}")
+
+    return (
+        df.writeStream.foreachBatch(commit)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
