@@ -958,6 +958,45 @@ def _rolling_fingerprint(spark, sf_dir):
     )
 
 
+_IVF_CENTS = 8
+
+
+@_q(
+    "ivf_topk_full_probe",
+    # probing every inverted list degenerates IVF to exact search ->
+    # the brute-force cosine oracle applies
+    "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5), "
+    "d AS (SELECT q.query_id, c.vec_id, "
+    + _COS_DOT.format(a="c.embedding", b="q.qv")
+    + " / ("
+    + _COS_NORM.format(a="c.embedding")
+    + " * "
+    + _COS_NORM.format(a="q.qv")
+    + ") AS cosine FROM embeddings c CROSS JOIN q), "
+    "r AS (SELECT query_id, vec_id, cosine, CAST(row_number() OVER ("
+    "PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank FROM d) "
+    "SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine FROM r WHERE rank <= 10",
+)
+def _ivf_topk_full_probe(spark, sf_dir):
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_train(emb, n_centroids=_IVF_CENTS, iters=2, seed=7)
+    index = similarity.ivf_index(emb, cents)
+    q = emb.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.ivf_topk(spark, index, cents, q, k=10, nprobe=_IVF_CENTS)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@_q("ivf_ann")
+def _ivf_ann(spark, sf_dir):
+    # the approximate path (nprobe << n_centroids) — rows-only
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_train(emb, n_centroids=_IVF_CENTS, iters=2, seed=7)
+    index = similarity.ivf_index(emb, cents)
+    q = emb.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.ivf_topk(spark, index, cents, q, k=10, nprobe=2)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 @_q("lsh_topk")
 def _lsh_topk(spark, sf_dir):
     (emb,) = _tables(spark, sf_dir, "embeddings")

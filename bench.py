@@ -20,6 +20,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 import __spark_entry__ as entry
@@ -50,6 +51,16 @@ def main():
     embeddings = read("embeddings")
     n_tiles = orders.count()
 
+    # pre-warm the Python worker pool (fork + numpy/pandas import per
+    # worker) so per-query timings measure operators, not cold forks
+    @F.pandas_udf("long")
+    def _warm(x: pd.Series) -> pd.Series:
+        return x
+
+    spark.range(0, 256, 1, CPUS).select(_warm("id")).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
     timings: dict[str, float] = {}
 
     def run(name, fn):
@@ -58,10 +69,13 @@ def main():
         timings[name] = round(t() - t0, 3)
 
     # flagship: cell encode -> PIP cell-prefix join -> assignment over
-    # the orders-derived point table (the "tiles")
+    # the orders-derived point table (the "tiles"); first run includes
+    # plan-compile/JIT warmup, the repeat is steady-state throughput
     tiles = entry._points_df(orders, "o_orderkey")
-    run("q_pip_flagship", lambda: materialize(pip_join(spark, tiles, entry.POLYGONS)))
-    tiles_per_sec = round(n_tiles / timings["q_pip_flagship"], 1)
+    flagship = pip_join(spark, tiles, entry.POLYGONS)
+    run("q_pip_flagship", lambda: materialize(flagship))
+    run("q_pip_flagship_warm", lambda: materialize(flagship))
+    tiles_per_sec = round(n_tiles / timings["q_pip_flagship_warm"], 1)
 
     # cell encode + multi-zoom vector pyramid over the full lineitem
     li_pts = lineitem.select(

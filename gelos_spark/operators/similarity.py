@@ -144,3 +144,117 @@ def recall_at_k(ann: DataFrame, exact: DataFrame, k: int) -> float:
     hits = ann.join(exact, ["query_id", "vec_id"], "inner").count()
     total = exact.count()
     return hits / max(total, 1)
+
+
+# ----------------------------------------------------------------- IVF
+
+def _assign_udf(centroids: np.ndarray):
+    """pandas_udf: vector -> nearest centroid id by cosine (int)."""
+    cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+
+    @F.pandas_udf(T.IntegerType())
+    def _assign(vec: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vec])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(m @ cn.T, axis=1).astype(np.int32))
+
+    return _assign
+
+
+def ivf_train(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means centroids via Lloyd iterations, fully
+    distributed: init = first n_centroids vectors in deterministic
+    hash order (seeded, partition-layout-independent); each iteration
+    assigns by broadcast-centroid pandas UDF and recomputes means with
+    a per-dimension SQL aggregate (posexplode -> avg), so only the
+    [n_centroids, dim] matrix ever reaches the driver."""
+    init = (
+        corpus.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)).asc(), F.col(id_col).asc())
+        .limit(n_centroids)
+        .select(vec_col)
+        .collect()
+    )
+    cents = np.stack([np.asarray(r[0], dtype=np.float64) for r in init])
+    for _ in range(iters):
+        assigned = corpus.select(
+            _assign_udf(cents)(F.col(vec_col)).alias("cid"),
+            F.posexplode(vec_col).alias("pos", "val"),
+        )
+        rows = (
+            assigned.groupBy("cid", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new = cents.copy()  # empty clusters keep their old centroid
+        for r in rows:
+            new[r["cid"], r["pos"]] = r["m"]
+        cents = new
+    return cents
+
+
+def ivf_index(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach the inverted-list id: (vec_id, cv, cn, cid). At scale
+    this is the table you persist bucketed by cid — probes touch only
+    nprobe lists instead of the full corpus."""
+    return corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("cv"),
+        _norm_expr(vec_col).alias("cn"),
+        _assign_udf(centroids)(F.col(vec_col)).alias("cid"),
+    )
+
+
+def ivf_topk(
+    spark: SparkSession,
+    index: DataFrame,
+    centroids: np.ndarray,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    qid_col: str = "query_id",
+    qvec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe: each query scans only its nprobe nearest inverted
+    lists (driver NumPy picks the lists from the tiny centroid matrix),
+    exact cosine re-rank inside them. Output schema matches
+    brute_force_topk; recall grows with nprobe (nprobe = n_centroids
+    degenerates to exact search)."""
+    qpdf = queries.select(
+        F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("qv")
+    ).toPandas()
+    qm = np.stack([np.asarray(v, dtype=np.float64) for v in qpdf["qv"]])
+    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    order = np.argsort(-(qn @ cn.T), axis=1)[:, :nprobe]  # [Q, nprobe]
+    probes = pd.DataFrame(
+        {
+            "query_id": np.repeat(qpdf["query_id"].to_numpy(), nprobe),
+            "qv": [list(v) for v in np.repeat(qm, nprobe, axis=0)],
+            "cid": order.ravel().astype(np.int32),
+        }
+    )
+    qdf = spark.createDataFrame(probes).withColumn("qn", _norm_expr("qv"))
+    cand = index.join(F.broadcast(qdf), "cid").select(
+        "query_id",
+        "vec_id",
+        (_dot_expr("cv", "qv") / (F.col("cn") * F.col("qn"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )

@@ -90,3 +90,46 @@ def sink_to_snapshot(df: DataFrame, table_root: str, query_name: str, checkpoint
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def running_cell_stats(stream: DataFrame, res: int = 16, agg_res: int = 6) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: a RUNNING
+    per-cell rollup across micro-batches — cumulative tile count +
+    first/last event time per coarse cell, emitted as an update row
+    whenever a batch touches the cell. This is the streaming twin of
+    the vector pyramid's leaf level where totals must survive batch
+    boundaries (watermarked window aggs forget closed windows; this
+    state does not). State per group is three scalars — bounded by the
+    number of occupied cells, not by rows."""
+    import pandas as pd  # noqa: PLC0415 (executor-side)
+
+    enc = stream_encode(stream, res).select(
+        F.shiftrightunsigned(F.col("cell"), 2 * (res - agg_res)).alias("cell"),
+        "ts",
+    )
+
+    def update(key, pdf_iter, state):
+        n = 0
+        lo = hi = None
+        for pdf in pdf_iter:
+            n += len(pdf)
+            b_lo, b_hi = pdf["ts"].min(), pdf["ts"].max()
+            lo = b_lo if lo is None or b_lo < lo else lo
+            hi = b_hi if hi is None or b_hi > hi else hi
+        if state.exists:
+            p_n, p_lo, p_hi = state.get
+            n += p_n
+            lo = min(lo, p_lo)
+            hi = max(hi, p_hi)
+        state.update((n, lo, hi))
+        yield pd.DataFrame(
+            {"cell": [key[0]], "n_tiles": [n], "first_ts": [lo], "last_ts": [hi]}
+        )
+
+    return enc.groupBy("cell").applyInPandasWithState(
+        update,
+        outputStructType="cell long, n_tiles long, first_ts timestamp, last_ts timestamp",
+        stateStructType="n long, lo timestamp, hi timestamp",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

@@ -1,0 +1,49 @@
+"""IVF approximate-nearest-neighbor path: deterministic training,
+inverted-list probing, recall vs the brute-force oracle, and the
+nprobe=n_centroids exactness degeneration."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gelos_spark.operators import similarity as sim
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(17)
+    # 8 well-separated gaussian clusters in 16-d
+    centers = rng.standard_normal((8, 16)) * 6.0
+    rows = []
+    for i in range(600):
+        c = i % 8
+        rows.append(
+            {"vec_id": i, "embedding": (centers[c] + rng.standard_normal(16)).tolist()}
+        )
+    return spark.createDataFrame(pd.DataFrame(rows)).persist()
+
+
+def test_ivf_train_deterministic(spark, emb):
+    c1 = sim.ivf_train(emb, n_centroids=8, iters=2, seed=7)
+    c2 = sim.ivf_train(emb.repartition(13), n_centroids=8, iters=2, seed=7)
+    assert np.allclose(c1, c2)
+
+
+def test_ivf_recall_and_exact_degeneration(spark, emb):
+    cents = sim.ivf_train(emb, n_centroids=8, iters=3, seed=7)
+    index = sim.ivf_index(emb, cents).persist()
+    q = emb.where(F.col("vec_id") < 12).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = sim.brute_force_topk(emb, q, k=10)
+    ann = sim.ivf_topk(spark, index, cents, q, k=10, nprobe=2)
+    r = sim.recall_at_k(ann, exact, 10)
+    assert r >= 0.9, f"recall@10 too low: {r}"
+    # probing every list == exact search
+    full = sim.ivf_topk(spark, index, cents, q, k=10, nprobe=8)
+    a = [(x.query_id, x.rank, x.vec_id) for x in full.collect()]
+    b = [(x.query_id, x.rank, x.vec_id) for x in exact.collect()]
+    assert a == b

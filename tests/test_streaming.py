@@ -97,3 +97,37 @@ def test_stream_dedup_and_snapshot_sink(spark, tmp_path):
     # micro-batch partitions committed with lineage-friendly tags
     parts = SnapshotTable(table_root).partitions()
     assert all(p.startswith("batch-") for p in parts)
+
+
+def test_running_cell_stats_state_across_batches(spark, tmp_path):
+    src = str(tmp_path / "src3")
+    pdf = _write_batches(spark, src)
+    stream = (
+        spark.readStream.schema(ingest.STREAM_SCHEMA)
+        .option("recursiveFileLookup", True)
+        .option("maxFilesPerTrigger", 1)  # force one micro-batch per drop
+        .parquet(src)
+    )
+    stats = ingest.running_cell_stats(stream, res=16, agg_res=5)
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("running_stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode emits one row per touched cell per batch: the LAST
+    # emission per cell carries the cumulative count
+    rows = spark.sql("SELECT * FROM running_stats").collect()
+    latest = {}
+    for i, r in enumerate(rows):
+        latest[r.cell] = r  # memory sink appends in batch order
+    cell16 = cells.cell_encode(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), 16)
+    cell5 = cell16 >> np.int64(22)
+    dup5 = cell5[:50]
+    import collections
+
+    want = collections.Counter([int(c) for c in cell5] + [int(c) for c in dup5])
+    got = {c: r.n_tiles for c, r in latest.items()}
+    assert got == dict(want)
