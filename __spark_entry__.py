@@ -194,6 +194,17 @@ def _scan_pushdown(spark, sf_dir):
 
 
 @_q(
+    "scan_embeddings",
+    "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 = 0",
+)
+def _scan_embeddings(spark, sf_dir):
+    # S3: projected parquet scan — Catalyst prunes to the two columns
+    # (ReadSchema) and pushes the predicate to the reader
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    return emb.where(F.col("vec_id") % 7 == 0).select("vec_id", "embedding")
+
+
+@_q(
     "filter_isin",
     "SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM lineitem "
     "WHERE l_returnflag IN ('A', 'R') AND l_quantity < 5",
