@@ -57,16 +57,26 @@ def char_shingles(text: str, k: int = 5) -> list[bytes]:
     return [b[i : i + k] for i in range(len(b) - k + 1)]
 
 
-def minhash_signature(text: str, num_hashes: int, k: int = 5, seed: int = 42) -> np.ndarray:
-    """num_hashes-wide MinHash signature via the standard (a*x+b) mod p
-    universal-hash family over shingle hashes."""
-    sh = np.unique(_hash_bytes_u64(char_shingles(text, k), seed)).astype(np.uint64)
+def _minhash_coeffs(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Multiply-shift family coefficients: odd multipliers + offsets.
+    (a*x + b) over uint64 wraparound — a bijection of Z_2^64 per hash,
+    so min-over-shingles is a valid MinHash permutation, and it
+    vectorizes as pure multiply+add (uint64 modulo has no SIMD path
+    on x86 and was the kernel's bottleneck)."""
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, num_hashes, dtype=np.uint64)
-    b = rng.integers(0, _MERSENNE, num_hashes, dtype=np.uint64)
-    x = (sh % np.uint64(_MERSENNE)).astype(np.uint64)
-    # [H, S] permuted values; min over shingles
-    vals = (a[:, None] * x[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+    a = rng.integers(0, 1 << 63, num_hashes, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.integers(0, 1 << 63, num_hashes, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(text: str, num_hashes: int, k: int = 5, seed: int = 42) -> np.ndarray:
+    """num_hashes-wide MinHash signature via the multiply-shift
+    permutation family over shingle hashes (scalar reference for the
+    batch kernel; tests assert value equality)."""
+    sh = np.unique(_hash_bytes_u64(char_shingles(text, k), seed)).astype(np.uint64)
+    a, b = _minhash_coeffs(num_hashes, seed)
+    with np.errstate(over="ignore"):
+        vals = a[:, None] * sh[None, :] + b[:, None]  # [H, S], uint64 wrap
     return vals.min(axis=1)
 
 
@@ -152,19 +162,22 @@ def minhash_batch(texts: list[str], num_hashes: int, k: int = 5, seed: int = 42)
     per permutation chunk (np.minimum.reduceat). Identical values to
     minhash_signature applied per document."""
     sh, doc_starts = _shingle_hashes_batch(texts, k, seed)
-    rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, num_hashes, dtype=np.uint64)
-    b = rng.integers(0, _MERSENNE, num_hashes, dtype=np.uint64)
-    x = (sh % np.uint64(_MERSENNE)).astype(np.uint64)
+    a, b = _minhash_coeffs(num_hashes, seed)
     d = len(texts)
     out = np.empty((d, num_hashes), dtype=np.uint64)
     seg = doc_starts[:-1]
-    chunk = max(1, min(num_hashes, int(64e6 // max(len(x), 1))))
+    # small reused scratch (~4MB) computed with out= : fresh multi-MB
+    # allocations page-fault pathologically slowly on virtualized
+    # hosts (measured ~20MB/s here), so never allocate [H, S] at once
+    chunk = max(1, min(num_hashes, int(4e6 // max(len(sh) * 8, 1)) or 1))
+    buf = np.empty((chunk, len(sh)), dtype=np.uint64)
     with np.errstate(over="ignore"):
         for c0 in range(0, num_hashes, chunk):
             c1 = min(c0 + chunk, num_hashes)
-            vals = (a[c0:c1, None] * x[None, :] + b[c0:c1, None]) % np.uint64(_MERSENNE)
-            out[:, c0:c1] = np.minimum.reduceat(vals, seg, axis=1).T
+            v = buf[: c1 - c0]
+            np.multiply(a[c0:c1, None], sh[None, :], out=v)
+            np.add(v, b[c0:c1, None], out=v)
+            out[:, c0:c1] = np.minimum.reduceat(v, seg, axis=1).T
     return out.astype(np.int64)
 
 
