@@ -193,15 +193,38 @@ def _scan_pushdown(spark, sf_dir):
     )
 
 
+def _unnest_sql(arr_sql: str, src_sql: str, extra: str = "vec_id") -> str:
+    """DuckDB: explode ``arr_sql`` to ({extra...}, pos BIGINT 0-based,
+    val DOUBLE) rows — the driver-sortable scalar shape mirroring
+    Spark's posexplode (array columns crash the driver's canonicalizer
+    on pandas sort: unhashable lists)."""
+    return (
+        f"SELECT {extra}, CAST(u.pos AS BIGINT) AS pos, CAST(u.val AS DOUBLE) AS val "
+        f"FROM (SELECT {extra}, unnest(list_transform(range(1, len({arr_sql}) + 1), "
+        f"i -> {{'pos': i - 1, 'val': ({arr_sql})[i]}})) AS u FROM ({src_sql}) s) t"
+    )
+
+
+def _posexplode_scalar(df: DataFrame, arr: F.Column, *extra: str) -> DataFrame:
+    """Spark twin of ``_unnest_sql``: posexplode to sortable scalars."""
+    e = df.select(*extra, F.posexplode(arr).alias("pos", "val"))
+    return e.select(
+        *extra, F.col("pos").cast("long").alias("pos"), F.col("val").cast("double").alias("val")
+    )
+
+
 @_q(
     "scan_embeddings",
-    "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 = 0",
+    _unnest_sql("embedding", "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 = 0"),
 )
 def _scan_embeddings(spark, sf_dir):
     # S3: projected parquet scan — Catalyst prunes to the two columns
-    # (ReadSchema) and pushes the predicate to the reader
+    # (ReadSchema) and pushes the predicate to the reader; the array
+    # payload is exploded to (vec_id, pos, val) scalars only for the
+    # oracle comparison
     (emb,) = _tables(spark, sf_dir, "embeddings")
-    return emb.where(F.col("vec_id") % 7 == 0).select("vec_id", "embedding")
+    sel = emb.where(F.col("vec_id") % 7 == 0).select("vec_id", "embedding")
+    return _posexplode_scalar(sel, F.col("embedding"), "vec_id")
 
 
 @_q(
@@ -555,23 +578,31 @@ def _knn_join(spark, sf_dir):
 
 @_q(
     "array_slice",
-    "SELECT vec_id, list_slice(embedding, 3, 10) AS emb_slice FROM embeddings",
+    _unnest_sql(
+        "emb_slice",
+        "SELECT vec_id, list_slice(embedding, 3, 10) AS emb_slice FROM embeddings",
+    ),
 )
 def _array_slice(spark, sf_dir):
     (emb,) = _tables(spark, sf_dir, "embeddings")
-    return emb.select("vec_id", F.slice("embedding", 3, 8).alias("emb_slice"))
+    sel = emb.select("vec_id", F.slice("embedding", 3, 8).alias("emb_slice"))
+    return _posexplode_scalar(sel, F.col("emb_slice"), "vec_id")
 
 
 @_q(
     "array_repeat_concat",
-    "SELECT vec_id, flatten([list_slice(embedding, 1, 4), list_slice(embedding, 1, 4), "
-    "list_slice(embedding, 1, 4)]) AS rep FROM embeddings",
+    _unnest_sql(
+        "rep",
+        "SELECT vec_id, flatten([list_slice(embedding, 1, 4), list_slice(embedding, 1, 4), "
+        "list_slice(embedding, 1, 4)]) AS rep FROM embeddings",
+    ),
 )
 def _array_repeat_concat(spark, sf_dir):
     (emb,) = _tables(spark, sf_dir, "embeddings")
-    return emb.select(
+    sel = emb.select(
         "vec_id", F.flatten(F.array_repeat(F.slice("embedding", 1, 4), 3)).alias("rep")
     )
+    return _posexplode_scalar(sel, F.col("rep"), "vec_id")
 
 
 @_q(
@@ -766,17 +797,22 @@ def _embedding_dup_pairs(spark, sf_dir):
 
 @_q(
     "array_flatten",
-    "SELECT vec_id, flatten([list_slice(embedding, 1, 8), list_slice(embedding, 9, 16)]) "
-    "AS flat, len(flatten([list_slice(embedding, 1, 8), list_slice(embedding, 9, 16)])) "
-    "AS width FROM embeddings",
+    _unnest_sql(
+        "flat",
+        "SELECT vec_id, len(flatten([list_slice(embedding, 1, 8), list_slice(embedding, 9, 16)]))"
+        " AS width, flatten([list_slice(embedding, 1, 8), list_slice(embedding, 9, 16)]) AS flat"
+        " FROM embeddings",
+        extra="vec_id, width",
+    ),
 )
 def _array_flatten(spark, sf_dir):
     # F2: recursive flatten + fixed-width check (SURVEY.md §2.7)
     (emb,) = _tables(spark, sf_dir, "embeddings")
     flat = F.flatten(F.array(F.slice("embedding", 1, 8), F.slice("embedding", 9, 8)))
-    return emb.select(
-        "vec_id", flat.alias("flat"), F.size(flat).cast("long").alias("width")
+    sel = emb.select(
+        "vec_id", F.size(flat).cast("long").alias("width"), flat.alias("flat")
     )
+    return _posexplode_scalar(sel, F.col("flat"), "vec_id", "width")
 
 
 @_q(
@@ -792,7 +828,9 @@ def _scan_tracker(spark, sf_dir):
 
     from gelos_spark.sources.tracker import read_tracker
 
-    path = f"{tempfile.gettempdir()}/gelos_scan_tracker.csv"
+    # path keyed by sf_dir so runs against different scale factors (or
+    # concurrent drivers) never clobber each other's round-trip CSV
+    path = f"{tempfile.gettempdir()}/gelos_scan_tracker_{abs(hash(sf_dir))}.csv"
     customer.select("c_custkey", "c_name", "c_mktsegment").coalesce(1).write.mode(
         "overwrite"
     ).option("header", True).csv(path)
@@ -809,13 +847,15 @@ _MASK_KEEP = 8
     "e AS (SELECT vec_id, u.pos AS pos, u.val AS val FROM p), "
     "r AS (SELECT vec_id, pos, val, row_number() OVER (PARTITION BY vec_id "
     "ORDER BY (vec_id * 2654435761 + pos * 40503) % 4294967296, pos) AS rn FROM e) "
-    f"SELECT vec_id, list(val ORDER BY pos) AS kept FROM r WHERE rn <= {_MASK_KEEP} "
-    "GROUP BY vec_id",
+    f"SELECT vec_id, CAST(pos AS BIGINT) AS pos, CAST(val AS DOUBLE) AS val "
+    f"FROM r WHERE rn <= {_MASK_KEEP}",
 )
 def _mask_topk(spark, sf_dir):
-    # W4: random-mask top-k (keep len_keep of argsort(noise), restore
-    # original order) — noise = deterministic integer hash shared with
-    # the oracle, so both engines keep identical positions
+    # W4: random-mask top-k (keep len_keep of argsort(noise), the kept
+    # (pos, val) rows restore the original order) — noise = a
+    # deterministic integer hash shared with the oracle, so both
+    # engines keep identical positions; output is scalar rows (the
+    # driver's canonicalizer cannot sort array columns)
     (emb,) = _tables(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
     h = (F.col("vec_id") * F.lit(2654435761) + (F.col("pos") + 1) * F.lit(40503)) % F.lit(
@@ -823,10 +863,10 @@ def _mask_topk(spark, sf_dir):
     )
     w = Window.partitionBy("vec_id").orderBy(h.asc(), F.col("pos").asc())
     kept = e.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= _MASK_KEEP)
-    return kept.groupBy("vec_id").agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("pos", "val"))), lambda s: s["val"]
-        ).alias("kept")
+    return kept.select(
+        "vec_id",
+        (F.col("pos") + 1).cast("long").alias("pos"),  # oracle pos is 1-based
+        F.col("val").cast("double").alias("val"),
     )
 
 

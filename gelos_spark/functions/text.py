@@ -98,8 +98,9 @@ def rolling_fingerprint_col(
     """True rolling-hash fingerprint over the first 32 words:
     fold(h = (h*base + crc32(word)) % p), as pure column math via
     aggregate() — order-sensitive, unlike a bag-of-words hash.
-    Verified against a NumPy reference in pytest (crc32 has no DuckDB
-    analog, so this one carries a rows-only driver check)."""
+    Verified against a zlib.crc32 reference in pytest
+    (tests/test_text.py); crc32 has no DuckDB analog, so the driver
+    contract carries only a rows-only check."""
     return F.expr(
         f"aggregate(slice(split(lower({text_col_name}), '\\\\s+'), 1, 32), "
         f"CAST(0 AS DECIMAL(38, 0)), "

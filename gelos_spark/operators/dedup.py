@@ -246,6 +246,22 @@ def simhash_udf(seed: int = 42):
     return _sh
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a narrow-source frame so CPU-heavy signature UDFs
+    use every core: small-on-disk text tables often arrive as one scan
+    split. The split-count probe uses file-listing metadata only
+    (``inputFiles``) — probing ``df.rdd`` would force an RDD
+    conversion plan. Non-file sources report 0 files and are spread
+    too (safe: the stage is compute-bound)."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    return df.repartition(par) if n_files < par else df
+
+
 # ------------------------------------------------------------- exact
 
 def dedup_exact(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
@@ -280,9 +296,7 @@ def minhash_lsh_pairs(
     # signature hashing is the CPU-heavy stage: spread it across the
     # cluster even when the (small on disk, heavy to process) text
     # table arrives as a single scan split
-    spark = docs.sparkSession
-    par = spark.sparkContext.defaultParallelism
-    src = docs.repartition(par) if docs.rdd.getNumPartitions() < par else docs
+    src = _spread(docs)
     sigs = src.select(
         F.col(id_col).alias("id"), minhash_udf(num_hashes, shingle_k, seed)(F.col(text_col)).alias("sig")
     ).persist()
@@ -323,7 +337,10 @@ def minhash_lsh_pairs(
         .where(F.col("est_jaccard") >= min_jaccard)
         .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
         .orderBy("id_a", "id_b")
+        .persist()
     )
+    out.count()  # materialize so the signature cache can be released
+    sigs.unpersist()  # no cache growth across repeated calls
     return out
 
 
@@ -342,8 +359,7 @@ def simhash_pairs(
     (band, band_bits), verify exact Hamming with bit_count (JVM)."""
     nb = max_hamming + 1
     width = 64 // nb
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    src = docs.repartition(par) if docs.rdd.getNumPartitions() < par else docs
+    src = _spread(docs)
     sh = src.select(F.col(id_col).alias("id"), simhash_udf(seed)(F.col(text_col)).alias("sh"))
     bands = []
     for b in range(nb):
@@ -382,12 +398,21 @@ def ngram_jaccard_pairs(
     n: int = 3,
     min_jaccard: float = 0.2,
     block_col: str | None = None,
+    allow_cross_join: bool = False,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard similarity for candidate pairs —
     pure column expressions (no UDF): split -> sliding n-grams via
     transform over an index sequence -> array_distinct ->
-    intersect/union cardinality. ``block_col`` (e.g. lang) bounds the
-    self-join; without it this is all-pairs (test scale only)."""
+    intersect/union cardinality. ``block_col`` (e.g. lang, or an LSH
+    band key) bounds the self-join and is REQUIRED: without a block
+    this is an all-pairs cartesian product, which must be an explicit
+    opt-in (``allow_cross_join=True``, test scale only)."""
+    if block_col is None and not allow_cross_join:
+        raise ValueError(
+            "ngram_jaccard_pairs without block_col is an all-pairs crossJoin; "
+            "pass block_col (e.g. a language or LSH-band key) or opt in "
+            "explicitly with allow_cross_join=True at test scale"
+        )
     grams = F.array_distinct(
         F.expr(
             f"transform(sequence(0, greatest(size(split(lower({text_col}), '\\\\s+')) - {n}, 0)), "
@@ -422,11 +447,17 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     min_cosine: float = 0.95,
     block_col: str | None = None,
+    allow_cross_join: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine similarity — pure
     column math (zip_with dot product / aggregate norms). block_col
-    bounds the pair space (LSH-bucketed variant lives in
-    operators/similarity.py)."""
+    bounds the pair space and is required unless allow_cross_join=True
+    (the LSH-bucketed scale variant lives in operators/similarity.py)."""
+    if block_col is None and not allow_cross_join:
+        raise ValueError(
+            "embedding_dup_pairs without block_col is an all-pairs crossJoin; "
+            "pass block_col or opt in with allow_cross_join=True at test scale"
+        )
     def norm(c):
         return F.sqrt(F.expr(f"aggregate({c}, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
 

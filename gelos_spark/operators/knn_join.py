@@ -183,7 +183,12 @@ def knn_join(
             F.first("qlat").alias("qlat"),
             F.first("k").alias("kk"),
         ).collect()
-        whole_grid = 2 * r_cur + 1 >= n_grid
+        # cell_shell_batch wraps x offsets but CLAMPS y, so a radius-r
+        # disk from row y only covers rows [y-r, y+r]: full-grid
+        # coverage from ANY row needs r >= n_grid - 1 (2*r+1 >= n_grid
+        # only guarantees the x axis) — queries near the lat edge would
+        # otherwise finalize with half the grid unexplored
+        whole_grid = r_cur >= n_grid - 1
         if whole_grid:
             # explored disk covers the grid: every active query is done
             # (queries with zero candidates included — empty result)

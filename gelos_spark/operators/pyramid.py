@@ -130,38 +130,44 @@ def vector_pyramid(
     """Vector side of the pyramid: per-cell tile counts + per-category
     counts at every zoom level.
 
-    Scale design: the FULL tile table shuffles exactly once — the leaf
-    aggregation on cell (map-side combine collapses each partition to
-    its distinct leaf cells first). Every coarser level re-aggregates
-    the level below it (a table ~4x smaller each step): parent counts
-    sum child counts, parent category sets union child sets; each step
-    is a pure right-shift groupBy, so the whole pyramid costs one big
-    shuffle + log(levels) tiny ones, instead of one full-table shuffle
-    per level. Returns (res, cell, n_tiles, n_cat) ordered."""
-    leaf = (
-        tiles_with_cell.groupBy("cell")
-        .agg(F.count("*").alias("n_tiles"), F.collect_set(cat_col).alias("cats"))
-        .withColumn("res", F.lit(leaf_res))
+    Scale design: the FULL tile table shuffles exactly once — into a
+    (cell, cat) PAIR-COUNT table at the leaf (map-side combine
+    collapses each partition to its distinct pairs first). Every
+    coarser level re-aggregates the pair table below it (a table ~4x
+    smaller each step) with a pure right-shift groupBy, and per-cell
+    stats fall out of each level's pair table as sum(n)/count(*) —
+    all codegen'd HashAggregates over fixed-width rows. The previous
+    design carried collect_set(cat) arrays through every level
+    (ObjectHashAggregate, no codegen): with a high-cardinality
+    category column the per-cell sets blow up at scale; pair counts
+    are bounded by (#cells x #cats per cell) and never materialize a
+    set. Returns (res, cell, n_tiles, n_cat) ordered."""
+    pairs = (
+        tiles_with_cell.groupBy("cell", F.col(cat_col).alias("cat"))
+        .agg(F.count("*").alias("n"))
         .persist()
     )
-    levels = [leaf]
-    cur = leaf
+    levels = [(leaf_res, pairs)]
+    cur = pairs
     for res in range(leaf_res - 1, min_res - 1, -1):
         cur = (
-            cur.groupBy(cell_parent_col(F.col("cell"), res + 1, res).alias("cell"))
-            .agg(
-                F.sum("n_tiles").alias("n_tiles"),
-                F.array_distinct(F.flatten(F.collect_list("cats"))).alias("cats"),
-            )
-            .withColumn("res", F.lit(res))
+            cur.groupBy(cell_parent_col(F.col("cell"), res + 1, res).alias("cell"), "cat")
+            .agg(F.sum("n").alias("n"))
+            .persist()
         )
-        levels.append(cur)
-    out = levels[0]
-    for df in levels[1:]:
-        out = out.unionByName(df)
-    return out.select(
-        "res", "cell", "n_tiles", F.size("cats").cast("long").alias("n_cat")
-    ).orderBy("res", "cell")
+        levels.append((res, cur))
+    out = None
+    for res, lvl in levels:
+        # (cell, cat) is unique per level, so n_cat = count(*)
+        stats = lvl.groupBy("cell").agg(
+            F.sum("n").alias("n_tiles"), F.count("*").cast("long").alias("n_cat")
+        ).select(F.lit(res).alias("res"), "cell", "n_tiles", "n_cat")
+        out = stats if out is None else out.unionByName(stats)
+    result = out.orderBy("res", "cell").persist()
+    result.count()  # materialize, then release the level caches
+    for _, lvl in levels:
+        lvl.unpersist()
+    return result
 
 
 def merge_pyramids(a: DataFrame, b: DataFrame) -> DataFrame:

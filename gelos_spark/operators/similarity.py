@@ -172,9 +172,12 @@ def ivf_train(
     """Spherical k-means centroids via Lloyd iterations, fully
     distributed: init = first n_centroids vectors in deterministic
     hash order (seeded, partition-layout-independent); each iteration
-    assigns by broadcast-centroid pandas UDF and recomputes means with
-    a per-dimension SQL aggregate (posexplode -> avg), so only the
-    [n_centroids, dim] matrix ever reaches the driver."""
+    runs ONE narrow mapInPandas pass that assigns every vector to its
+    nearest (cosine) centroid and emits per-partition partial sums —
+    a [K, dim] float64 matrix + count vector per partition — merged on
+    the driver. No shuffle, no row amplification (the previous
+    posexplode design shuffled dim x corpus rows per iteration, a
+    768x blowup at embedding scale)."""
     init = (
         corpus.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)).asc(), F.col(id_col).asc())
         .limit(n_centroids)
@@ -182,19 +185,40 @@ def ivf_train(
         .collect()
     )
     cents = np.stack([np.asarray(r[0], dtype=np.float64) for r in init])
+    dim = cents.shape[1]
+    vecs = corpus.select(F.col(vec_col).alias("v"))
     for _ in range(iters):
-        assigned = corpus.select(
-            _assign_udf(cents)(F.col(vec_col)).alias("cid"),
-            F.posexplode(vec_col).alias("pos", "val"),
-        )
-        rows = (
-            assigned.groupBy("cid", "pos")
-            .agg(F.avg("val").alias("m"))
-            .collect()
-        )
+        cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+        def partial_sums(batches, cn=cn, k=n_centroids, dim=dim):
+            sums = np.zeros((k, dim), dtype=np.float64)
+            cnts = np.zeros(k, dtype=np.int64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+                mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+                cid = np.argmax(mn @ cn.T, axis=1)
+                np.add.at(sums, cid, m)
+                np.add.at(cnts, cid, 1)
+            nz = np.flatnonzero(cnts)
+            yield pd.DataFrame(
+                {
+                    "cid": nz.astype(np.int32),
+                    "cnt": cnts[nz],
+                    "vsum": [sums[i].tolist() for i in nz],
+                }
+            )
+
+        rows = vecs.mapInPandas(partial_sums, "cid int, cnt long, vsum array<double>").collect()
+        sums = np.zeros((n_centroids, dim), dtype=np.float64)
+        cnts = np.zeros(n_centroids, dtype=np.int64)
+        for r in sorted(rows, key=lambda r: (r["cid"],)):
+            sums[r["cid"]] += np.asarray(r["vsum"], dtype=np.float64)
+            cnts[r["cid"]] += r["cnt"]
         new = cents.copy()  # empty clusters keep their old centroid
-        for r in rows:
-            new[r["cid"], r["pos"]] = r["m"]
+        nz = cnts > 0
+        new[nz] = sums[nz] / cnts[nz, None]
         cents = new
     return cents
 
@@ -231,6 +255,7 @@ def ivf_topk(
     exact cosine re-rank inside them. Output schema matches
     brute_force_topk; recall grows with nprobe (nprobe = n_centroids
     degenerates to exact search)."""
+    nprobe = min(nprobe, len(centroids))
     qpdf = queries.select(
         F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("qv")
     ).toPandas()
@@ -240,12 +265,16 @@ def ivf_topk(
     order = np.argsort(-(qn @ cn.T), axis=1)[:, :nprobe]  # [Q, nprobe]
     probes = pd.DataFrame(
         {
-            "query_id": np.repeat(qpdf["query_id"].to_numpy(), nprobe),
-            "qv": [list(v) for v in np.repeat(qm, nprobe, axis=0)],
-            "cid": order.ravel().astype(np.int32),
+            "query_id": [int(v) for v in np.repeat(qpdf["query_id"].to_numpy(), nprobe)],
+            "qv": [v.tolist() for v in np.repeat(qm, nprobe, axis=0)],
+            "cid": [int(c) for c in order.ravel()],
         }
     )
-    qdf = spark.createDataFrame(probes).withColumn("qn", _norm_expr("qv"))
+    # explicit schema: plain (non-Arrow) sessions cannot infer the
+    # type of list-of-np.float64 cells (CANNOT_INFER_TYPE_FOR_FIELD)
+    qdf = spark.createDataFrame(
+        probes, "query_id long, qv array<double>, cid int"
+    ).withColumn("qn", _norm_expr("qv"))
     cand = index.join(F.broadcast(qdf), "cid").select(
         "query_id",
         "vec_id",

@@ -21,16 +21,21 @@ def get_spark(
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or reuse) the engine SparkSession.
 
     ``cpus`` controls ``local[N]``; the two-parallelism-level scaling
-    benchmark (BASELINE.md) runs the same job at 8 and 32.
+    benchmark (BASELINE.md) runs the same job at 8 and 32. Pass
+    ``master`` to target a real cluster — cluster sessions keep
+    Spark's default scan-split sizing (the 16MB override below is a
+    local-bench knob only).
     """
     cpus = cpus or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    master = master or f"local[{cpus}]"
     b = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -41,17 +46,18 @@ def get_spark(
         # decoded 3-channel uint8 tiles are ~12KB-200KB each; cap Arrow
         # batches so payload stages stay bounded-memory (SURVEY.md §4)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
-        # local-scale scan granularity: default 128MB packs a whole
-        # bench table into 1-2 input splits, serializing every narrow
-        # stage downstream of a scan (broadcast joins, pandas-UDF
-        # refine). 16MB yields >= cores splits at bench sizes; a real
-        # cluster keeps the default (TB inputs -> thousands of splits).
-        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
-        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if master.startswith("local"):
+        # local-scale scan granularity: default 128MB packs a whole
+        # bench table into 1-2 input splits, serializing every narrow
+        # stage downstream of a scan (broadcast joins, pandas-UDF
+        # refine). 16MB yields >= cores splits at bench sizes; cluster
+        # sessions keep the default (TB inputs -> thousands of splits).
+        b = b.config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        b = b.config("spark.sql.files.openCostInBytes", str(1024 * 1024))
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

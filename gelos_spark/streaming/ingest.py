@@ -67,8 +67,12 @@ def windowed_cell_counts(
 
 def stream_dedup(stream: DataFrame, watermark: str = "2 minutes") -> DataFrame:
     """Keep the first arrival per image_id within the watermark
-    horizon (bounded state — the streaming analog of exact dedup)."""
-    return stream.withWatermark("ts", watermark).dropDuplicates(["image_id"])
+    horizon (bounded state — the streaming analog of exact dedup).
+
+    Uses dropDuplicatesWithinWatermark: plain dropDuplicates only
+    evicts state when the event-time column is part of the dedup
+    subset, so keying on image_id alone would grow state unboundedly."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["image_id"])
 
 
 def sink_to_snapshot(df: DataFrame, table_root: str, query_name: str, checkpoint: str):
