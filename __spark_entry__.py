@@ -1048,6 +1048,137 @@ def _ivf_ann(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+# ------------------------------------------ projection (PCA / t-SNE)
+
+_COV_ORACLE = (
+    "WITH u AS (SELECT vec_id, CAST(u.pos AS INTEGER) AS i, CAST(u.val AS DOUBLE) AS x "
+    "FROM (SELECT vec_id, unnest(list_transform(range(1, len(embedding) + 1), "
+    "k -> {'pos': k - 1, 'val': embedding[k]})) AS u FROM embeddings) t), "
+    "m AS (SELECT i, avg(x) AS mu FROM u GROUP BY i), "
+    "p AS (SELECT a.i AS i, b.i AS j, avg(a.x * b.x) AS exy "
+    "FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i GROUP BY a.i, b.i) "
+    # + 0.0 normalizes IEEE negative zero (repr-visible to the canon)
+    "SELECT p.i, p.j, round(p.exy - ma.mu * mb.mu, 6) + 0.0 AS cov "
+    "FROM p JOIN m ma ON p.i = ma.i JOIN m mb ON p.j = mb.i"
+)
+
+
+@_q("pca_covariance", _COV_ORACLE)
+def _pca_covariance(spark, sf_dir):
+    # the distributed moments kernel PCA training runs on (one narrow
+    # mapInPandas pass, E[xy] - E[x]E[y] association shared with the
+    # oracle) — checking the upper-triangle covariance entries
+    # DuckDB-exactly validates the kernel PCA/t-SNE sit on
+    from gelos_spark.operators import projection as prj
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    _, _, cov = prj.covariance(emb)
+    d = cov.shape[0]
+    rows = [(i, j, float(cov[i, j])) for i in range(d) for j in range(i, d)]
+    out = spark.createDataFrame(rows, "i int, j int, cov double")
+    return out.select("i", "j", (F.round("cov", 6) + F.lit(0.0)).alias("cov"))
+
+
+@_q("pca_coords")
+def _pca_coords(spark, sf_dir):
+    # rows-only: the eigendecomposition has no SQL analog; exactness
+    # vs a NumPy reference is pytest's job (tests/test_projection.py)
+    from gelos_spark.operators import projection as prj
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    model = prj.pca_train(emb, k=2)
+    out = prj.pca_project(emb, model)
+    return out.select(
+        "vec_id", F.round("pc1", 6).alias("pc1"), F.round("pc2", 6).alias("pc2")
+    )
+
+
+@_q("tsne_coords")
+def _tsne_coords(spark, sf_dir):
+    # the reference's headline analytic output (gelos/tsne_transform.py
+    # :8-11): seeded t-SNE over a deterministic sample, named coord
+    # columns; rows-only (non-convex optimization has no SQL oracle;
+    # determinism + cluster structure are pytest-verified)
+    from gelos_spark.operators import projection as prj
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    pdf = prj.tsne_coords(
+        emb, n_sample=300, n_iter=120, model_name="engine", strategy="full"
+    )
+    out = spark.createDataFrame(pdf)
+    cx, cy = prj.coord_cols("engine", "full")
+    return out.select(
+        "vec_id", F.round(cx, 6).alias(cx), F.round(cy, 6).alias(cy)
+    )
+
+
+# ------------------------------------- multi-sensor payload pipeline
+
+
+@_q("multisensor_stack")
+def _multisensor_stack(spark, sf_dir):
+    # [T,H,W,C] stacking + band projection + channel concat
+    # (gelos/gelosdataset.py:119-141); payload checksums are
+    # deterministic, shapes assert the contract — pytest holds the
+    # exact pixel oracles (tests/test_multisensor.py)
+    from gelos_spark.operators import multisensor as ms
+
+    sensors = {"s1": ["VV", "VH"], "s2l2a": ["B02", "B03", "B04", "B08"]}
+    df = ms.multisensor_df(spark, 64, sensors=sensors, t_steps=3, w=16, seed=42)
+    d = ms.stack_sensors(df, sensors, want={"s1": ["VV", "VH"], "s2l2a": ["B08", "B02"]})
+    c = ms.stack_sensors(df, sensors, output="concat")
+    cols = ["image_id", "sensor", "t", "h", "w", "c", "checksum"]
+    return d.select(*cols).unionByName(c.select(*cols))
+
+
+@_q("normalize_payload")
+def _normalize_payload(spark, sf_dir):
+    # per-band (x-mu)/sigma with the arg -> class-default -> identity
+    # cascade (gelos/gelosdatamodule.py:68-94)
+    from gelos_spark.operators import multisensor as ms
+
+    sensors = {"s2l2a": ["B02", "B03", "B04"]}
+    df = ms.multisensor_df(spark, 64, sensors=sensors, t_steps=2, w=16, seed=42)
+    stacked = ms.stack_sensors(df, sensors, output="dict")
+    out = ms.normalize_stacks(
+        stacked, sensors, means={"B03": 100.0}, stds={"B03": 8.0},
+        class_means={"B04": 50.0},
+    )
+    return out.select(
+        "image_id", "sensor", "t", "h", "w", "c", F.round("checksum", 4).alias("checksum")
+    )
+
+
+@_q("config_pipeline")
+def _config_pipeline(spark, sf_dir):
+    # U3 config-driven assembly: YAML-shaped dict -> Pipeline stages
+    # with lineage; fresh run dir each call -> deterministic rows
+    import shutil
+    import tempfile
+
+    from gelos_spark.plans import config as cfg
+
+    root = f"{tempfile.gettempdir()}/gelos_config_q"
+    shutil.rmtree(root, ignore_errors=True)
+    conf = {
+        "run_id": "oracle",
+        "stages": [
+            {"name": "tiles", "op": "synth_tracker", "args": {"n": 1000, "seed": 42}},
+            {"name": "cells", "op": "cell_encode", "input": "tiles", "args": {"res": 16}},
+            {
+                "name": "assign",
+                "op": "pip_join",
+                "input": "cells",
+                "args": {"n_aois": 8, "seed": 42, "tile_cell_col": "cell"},
+            },
+        ],
+    }
+    pipe = cfg.build_pipeline(spark, conf, root=root)
+    return pipe.log.lineage("oracle").where(F.col("status") == "done").select(
+        "stage", "rows_out", "status"
+    ).orderBy("stage")
+
+
 @_q("lsh_topk")
 def _lsh_topk(spark, sf_dir):
     (emb,) = _tables(spark, sf_dir, "embeddings")

@@ -168,6 +168,13 @@ def knn_join(
             )
         )
         pool = cand if topk is None else topk.unionByName(cand)
+        if 2 * r_cur + 1 > n_grid:
+            # the shell's x offsets wrap the globe: wrapped cells alias
+            # cells explored in earlier rounds, so the same tile can
+            # enter the pool twice (x wraps; y offsets are discarded,
+            # never clamped, so only x aliases). Dedup keys match the
+            # window partitioning — no extra exchange shape.
+            pool = pool.dropDuplicates(["query_id", "image_id"])
         topk = (
             pool.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= F.col("k"))
             .drop("rank")

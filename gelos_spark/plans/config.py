@@ -1,0 +1,182 @@
+"""Config-driven pipeline assembly (SURVEY.md §2.8 U3).
+
+The reference builds entire runs from YAML: jsonargparse turns
+``class_path``/``init_args`` dicts into live datamodule/task objects
+(/root/reference/gelos/embedding_generation.py:63-75), and the
+documented example config must round-trip (instantiate + execute) in
+tests (tests/test_data.py:368-399). The engine analog maps a YAML (or
+plain-dict) stage list onto ``plans.checkpoint.Pipeline``: each stage
+names a registered operator (``op``) with ``args`` — the engine's
+``class_path``/``init_args`` — plus optional ``input`` wiring to a
+prior stage's committed output. Because stages run through Pipeline,
+every config-built run inherits checkpoint lineage + idempotent
+resume for free.
+
+Registered ops are thin adapters over the public operator modules;
+new ops register with ``@op("name")`` — the extensibility surface the
+reference exposes via dataset subclassing (gelos/gelosdataset.py:77).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gelos_spark.plans.checkpoint import Pipeline
+
+_OPS: dict[str, Callable[..., DataFrame]] = {}
+
+
+def op(name: str):
+    def reg(fn):
+        _OPS[name] = fn
+        return fn
+
+    return reg
+
+
+def registered_ops() -> list[str]:
+    return sorted(_OPS)
+
+
+# ----------------------------------------------------------- op set
+# each op: (spark, pipe, conf: dict) -> DataFrame.  ``conf`` is the
+# stage's ``args`` dict; ``conf["__input__"]`` (injected by the
+# runner from the stage's ``input`` key) is the upstream DataFrame.
+
+
+@op("synth_tracker")
+def _op_synth_tracker(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
+    from gelos_spark.sources import synth
+
+    return synth.tracker_df(spark, int(conf["n"]), seed=int(conf.get("seed", 42)))
+
+
+@op("synth_images")
+def _op_synth_images(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
+    from gelos_spark.sources import synth
+
+    return synth.images_df(
+        spark, int(conf["n"]), w=int(conf.get("w", 64)), seed=int(conf.get("seed", 42))
+    )
+
+
+@op("cell_encode")
+def _op_cell_encode(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
+    from gelos_spark.functions.cell_udfs import cell_encode_col
+
+    df = conf["__input__"]
+    res = int(conf.get("res", 16))
+    return df.withColumn(
+        conf.get("out_col", "cell"),
+        cell_encode_col(F.col(conf.get("lon_col", "lon")), F.col(conf.get("lat_col", "lat")), res),
+    )
+
+
+@op("pip_join")
+def _op_pip_join(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
+    from gelos_spark.operators.pip_join import pip_join
+    from gelos_spark.sources import synth
+
+    aois = synth.aoi_polygons(
+        int(conf.get("n_aois", 16)),
+        seed=int(conf.get("seed", 42)),
+        vertices=conf.get("aoi_vertices"),
+    )
+    return pip_join(
+        spark,
+        conf["__input__"],
+        aois,
+        tile_cell_col=conf.get("tile_cell_col"),
+        ordered=bool(conf.get("ordered", False)),
+    )
+
+
+@op("vector_pyramid")
+def _op_vector_pyramid(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
+    from gelos_spark.operators.pyramid import vector_pyramid
+
+    return vector_pyramid(
+        conf["__input__"],
+        int(conf["leaf_res"]),
+        int(conf["min_res"]),
+        cat_col=conf.get("cat_col", "lulc"),
+    )
+
+
+@op("decode_stats")
+def _op_decode_stats(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
+    from gelos_spark.operators import images as imops
+
+    return imops.decode_stats(conf["__input__"])
+
+
+@op("sample_n")
+def _op_sample_n(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
+    from gelos_spark.operators.projection import sample_ids_hash_order
+
+    return sample_ids_hash_order(
+        conf["__input__"], conf.get("id_col", "image_id"), int(conf["n"]),
+        seed=int(conf.get("seed", 42)),
+    )
+
+
+# ------------------------------------------------------------ runner
+
+
+def validate_config(conf: dict) -> None:
+    """Fail fast with the reference's validation discipline (unknown
+    band -> ValueError, gelos/gelosdataset.py:61-68): unknown op or
+    missing input wiring is a config error, not a runtime surprise."""
+    if "stages" not in conf or not isinstance(conf["stages"], list):
+        raise ValueError("config needs a 'stages' list")
+    seen: set[str] = set()
+    for st in conf["stages"]:
+        name, opname = st.get("name"), st.get("op")
+        if not name or not opname:
+            raise ValueError(f"stage needs 'name' and 'op': {st}")
+        if opname not in _OPS:
+            raise ValueError(f"unknown op {opname!r}; registered: {registered_ops()}")
+        inp = st.get("input")
+        if inp is not None and inp not in seen:
+            raise ValueError(f"stage {name!r} wires input {inp!r} before it is defined")
+        seen.add(name)
+
+
+def build_pipeline(
+    spark: SparkSession, conf: dict, root: str | None = None, run_id: str | None = None
+) -> Pipeline:
+    """Assemble-and-run a Pipeline from a config dict: stages execute
+    in order, each committed + lineage-logged; re-running the same
+    (root, run_id) resume-skips completed stages."""
+    validate_config(conf)
+    pipe = Pipeline(
+        spark, root or conf["root"], run_id or conf.get("run_id", "run1")
+    )
+    for st in conf["stages"]:
+        args: dict[str, Any] = dict(st.get("args") or {})
+        inp = st.get("input")
+
+        def fn(sp, _op=_OPS[st["op"]], _args=args, _inp=inp):
+            if _inp is not None:
+                _args = dict(_args)
+                _args["__input__"] = pipe.output(_inp)
+            return _op(sp, pipe, _args)
+
+        pipe.stage(st["name"], fn)
+    return pipe
+
+
+def load_config(path: str) -> dict:
+    """YAML (or JSON — a YAML subset) config file -> dict."""
+    import yaml
+
+    with open(path) as f:
+        return yaml.safe_load(f)
+
+
+def run_config(spark: SparkSession, path: str, **overrides) -> Pipeline:
+    return build_pipeline(spark, load_config(path), **overrides)

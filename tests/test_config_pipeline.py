@@ -1,0 +1,73 @@
+"""Config-driven pipeline assembly (SURVEY.md §2.8 U3): the engine's
+analog of the reference's YAML round-trip test
+(tests/test_data.py:368-399 — the documented config must instantiate
+and execute), plus checkpoint-resume through the config path and
+config validation errors."""
+
+from __future__ import annotations
+
+import pytest
+import yaml
+
+from gelos_spark.plans import config as cfg
+
+PIPE_YAML = """
+run_id: t1
+stages:
+  - name: tiles
+    op: synth_tracker
+    args: {n: 2000, seed: 42}
+  - name: cells
+    op: cell_encode
+    input: tiles
+    args: {res: 16}
+  - name: assign
+    op: pip_join
+    input: cells
+    args: {n_aois: 12, seed: 42, tile_cell_col: cell, ordered: false}
+"""
+
+
+def test_documented_config_round_trips(spark, tmp_path):
+    # the checked-in flagship config parses and validates as-is
+    conf = cfg.load_config("jobs/pip_pipeline.yaml")
+    cfg.validate_config(conf)
+
+    # a small instance of the same shape executes end-to-end
+    conf = yaml.safe_load(PIPE_YAML)
+    pipe = cfg.build_pipeline(spark, conf, root=str(tmp_path / "run"))
+    assert pipe.executed == ["tiles", "cells", "assign"]
+    out = pipe.output("assign")
+    assert out.count() == 872  # the verified seed-42/2000-tile PIP count
+    assert {"aoi_id", "image_id"} <= set(out.columns)
+
+
+def test_config_resume_skips_done_stages(spark, tmp_path):
+    conf = yaml.safe_load(PIPE_YAML)
+    root = str(tmp_path / "resume")
+    p1 = cfg.build_pipeline(spark, conf, root=root)
+    assert p1.executed == ["tiles", "cells", "assign"]
+    p2 = cfg.build_pipeline(spark, conf, root=root)
+    assert p2.executed == []
+    assert p2.skipped == ["tiles", "cells", "assign"]
+    assert p2.output("assign").count() == 872
+
+
+def test_config_validation_errors(spark):
+    with pytest.raises(ValueError, match="stages"):
+        cfg.validate_config({})
+    with pytest.raises(ValueError, match="unknown op"):
+        cfg.validate_config({"stages": [{"name": "a", "op": "nope"}]})
+    with pytest.raises(ValueError, match="before it is defined"):
+        cfg.validate_config(
+            {"stages": [{"name": "a", "op": "cell_encode", "input": "missing"}]}
+        )
+    with pytest.raises(ValueError, match="'name' and 'op'"):
+        cfg.validate_config({"stages": [{"op": "synth_tracker"}]})
+
+
+def test_yaml_file_runner(spark, tmp_path):
+    path = tmp_path / "conf.yaml"
+    path.write_text(PIPE_YAML)
+    pipe = cfg.run_config(spark, str(path), root=str(tmp_path / "out"))
+    assert pipe.output("assign").count() == 872
