@@ -1048,6 +1048,36 @@ def _ivf_ann(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+_STRATEGY_STEPS = [
+    {"start": 1, "stop": 7, "step": 2},  # pick nested chunks 1,3,5
+    {"flatten": True},
+    {"start": 2, "stop": 64, "step": 5},
+]
+
+
+def _extract_strategy_sql() -> str:
+    from gelos_spark.functions import arrays as ar
+
+    nested = ar.chunked_sql("embedding", 8)
+    chain = ar.strategy_chain_sql(nested, _STRATEGY_STEPS)
+    return _unnest_sql("out", f"SELECT vec_id, {chain} AS out FROM embeddings")
+
+
+@_q("extract_strategy", _extract_strategy_sql())
+def _extract_strategy(spark, sf_dir):
+    # F1 chained extraction strategies (gelos/embedding_extraction.py
+    # :27-36): a config-driven LIST of list_slice/flatten steps applied
+    # in sequence over nested embeddings; the same chain compiles to
+    # one Catalyst projection here and one DuckDB expression there
+    from gelos_spark.functions import arrays as ar
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    nested = ar.chunked_col(F.col("embedding"), 8)
+    out = ar.apply_strategy_chain(nested, _STRATEGY_STEPS)
+    sel = emb.select("vec_id", out.alias("out"))
+    return _posexplode_scalar(sel, F.col("out"), "vec_id")
+
+
 # ------------------------------------------ projection (PCA / t-SNE)
 
 _COV_ORACLE = (
