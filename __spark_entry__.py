@@ -1003,9 +1003,30 @@ def _simhash_pairs(spark, sf_dir):
 
 @_q("rolling_fingerprint")
 def _rolling_fingerprint(spark, sf_dir):
+    # crc32 word hashes have no DuckDB analog -> rows-only here;
+    # exactness vs zlib.crc32 is pytest's job (tests/test_text.py)
     (docs,) = _tables(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", tx.rolling_fingerprint_col("text").alias("rfp")
+    )
+
+
+_RFP_MOD = (1 << 61) - 1
+
+
+@_q(
+    "rolling_fingerprint_ascii",
+    "SELECT doc_id, CAST(list_reduce(list_transform("
+    "string_split(substr(lower(text), 1, 128), ''), "
+    "c -> CAST(ascii(c) AS HUGEINT)), "
+    f"(a, x) -> (a * 257 + x) % {_RFP_MOD}) AS BIGINT) AS rfp FROM documents",
+)
+def _rolling_fingerprint_ascii(spark, sf_dir):
+    # the oracle-portable rolling hash: code-point fold shared by both
+    # engines (fold-from-0 == reduce-from-first since 0*b + c0 = c0)
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", tx.rolling_fingerprint_ascii_col("text").alias("rfp")
     )
 
 
@@ -1145,12 +1166,38 @@ def _tsne_coords(spark, sf_dir):
 # ------------------------------------- multi-sensor payload pipeline
 
 
-@_q("multisensor_stack")
+# the generator's pixel values are pure integer arithmetic of
+# (seed, image, sensor, t, y, x, channel), so the oracle RECOMPUTES
+# every checksum from first principles in SQL (no table read): an
+# end-to-end check of decode -> band-project -> stack -> concat
+_MS_ORACLE = (
+    "WITH imgs AS (SELECT unnest(range(0, 64)) AS i), "
+    "parts AS (SELECT * FROM (VALUES "
+    "('s1', 0, [0, 1], 2), "
+    "('s2l2a', 1, [3, 0], 2), "
+    "('__concat__', 0, [0, 1], 6), "
+    "('__concat__', 1, [0, 1, 2, 3], 6)"
+    ") AS v(sensor, si, sel, c_out)), "
+    "s AS (SELECT i, sensor, c_out, "
+    "list_sum(list_transform(range(0, 3), t -> "
+    "list_sum(list_transform(range(0, 16), y -> "
+    "list_sum(list_transform(range(0, 16), x -> "
+    "list_sum(list_transform(sel, c -> "
+    "((42 * 1000003 + i * 7919 + si * 104729 + t * 131) % 251 + y * 3 + x * 5 + c * 17) % 256"
+    ")))))))) AS part_sum FROM imgs CROSS JOIN parts) "
+    "SELECT printf('img%08d', i) AS image_id, sensor, "
+    "CAST(3 AS INTEGER) AS t, CAST(16 AS INTEGER) AS h, CAST(16 AS INTEGER) AS w, "
+    "CAST(any_value(c_out) AS INTEGER) AS c, CAST(sum(part_sum) AS DOUBLE) AS checksum "
+    "FROM s GROUP BY i, sensor"
+)
+
+
+@_q("multisensor_stack", _MS_ORACLE)
 def _multisensor_stack(spark, sf_dir):
     # [T,H,W,C] stacking + band projection + channel concat
-    # (gelos/gelosdataset.py:119-141); payload checksums are
-    # deterministic, shapes assert the contract — pytest holds the
-    # exact pixel oracles (tests/test_multisensor.py)
+    # (gelos/gelosdataset.py:119-141); the DuckDB oracle recomputes
+    # the pixel checksums arithmetically, pytest holds the exact
+    # per-pixel oracles (tests/test_multisensor.py)
     from gelos_spark.operators import multisensor as ms
 
     sensors = {"s1": ["VV", "VH"], "s2l2a": ["B02", "B03", "B04", "B08"]}
@@ -1161,10 +1208,31 @@ def _multisensor_stack(spark, sf_dir):
     return d.select(*cols).unionByName(c.select(*cols))
 
 
-@_q("normalize_payload")
+# exact-in-double by construction: pixel values are integers, B03's
+# (v-100)/8 is a power-of-two division (float32 == float64 bit-exact),
+# B04's (v-50)/1 and B02's identity are integer-exact — so the SQL
+# recomputation matches the float32 payload checksum EXACTLY
+_NP_ORACLE = (
+    "WITH imgs AS (SELECT unnest(range(0, 64)) AS i), "
+    "s AS (SELECT i, "
+    "list_sum(list_transform(range(0, 2), t -> "
+    "list_sum(list_transform(range(0, 16), y -> "
+    "list_sum(list_transform(range(0, 16), x -> "
+    "CAST(((42 * 1000003 + i * 7919 + t * 131) % 251 + y * 3 + x * 5) % 256 AS DOUBLE) "
+    "+ (CAST(((42 * 1000003 + i * 7919 + t * 131) % 251 + y * 3 + x * 5 + 17) % 256 AS DOUBLE) - 100.0) / 8.0 "
+    "+ (CAST(((42 * 1000003 + i * 7919 + t * 131) % 251 + y * 3 + x * 5 + 34) % 256 AS DOUBLE) - 50.0)"
+    ")))))) AS checksum FROM imgs) "
+    "SELECT printf('img%08d', i) AS image_id, 's2l2a' AS sensor, "
+    "CAST(2 AS INTEGER) AS t, CAST(16 AS INTEGER) AS h, CAST(16 AS INTEGER) AS w, "
+    "CAST(3 AS INTEGER) AS c, round(CAST(checksum AS DOUBLE), 4) AS checksum FROM s"
+)
+
+
+@_q("normalize_payload", _NP_ORACLE)
 def _normalize_payload(spark, sf_dir):
     # per-band (x-mu)/sigma with the arg -> class-default -> identity
-    # cascade (gelos/gelosdatamodule.py:68-94)
+    # cascade (gelos/gelosdatamodule.py:68-94); the DuckDB oracle
+    # recomputes the normalized checksums from first principles
     from gelos_spark.operators import multisensor as ms
 
     sensors = {"s2l2a": ["B02", "B03", "B04"]}

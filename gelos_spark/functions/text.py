@@ -106,3 +106,21 @@ def rolling_fingerprint_col(
         f"CAST(0 AS DECIMAL(38, 0)), "
         f"(acc, x) -> CAST((acc * {base} + crc32(ENCODE(x, 'utf-8'))) % {modulus} AS DECIMAL(38, 0)))"
     ).cast("long")
+
+
+def rolling_fingerprint_ascii_col(
+    text_col_name: str, n_chars: int = 128, modulus: int = (1 << 61) - 1, base: int = 257
+) -> Column:
+    """Character-level rolling hash over the first ``n_chars`` code
+    points of the lowercased text: fold(h = (h*base + codepoint) % p).
+    The oracle-portable twin of ``rolling_fingerprint_col`` — ascii()
+    code points are identical in Spark and DuckDB, so this variant
+    carries an exact DuckDB oracle (crc32 does not exist there).
+    Fold-from-0 equals reduce-from-first-element because
+    0*base + c0 = c0, which is what the DuckDB list_reduce oracle
+    computes."""
+    return F.expr(
+        f"aggregate(slice(split(substring(lower({text_col_name}), 1, {n_chars}), ''), 1, {n_chars}), "
+        f"CAST(0 AS DECIMAL(38, 0)), "
+        f"(acc, c) -> CAST((acc * {base} + ascii(c)) % {modulus} AS DECIMAL(38, 0)))"
+    ).cast("long")

@@ -125,28 +125,67 @@ def build_pyramid(
 
 
 def vector_pyramid(
-    tiles_with_cell: DataFrame, leaf_res: int, min_res: int, cat_col: str = "lulc"
+    tiles_with_cell: DataFrame,
+    leaf_res: int,
+    min_res: int,
+    cat_col: str = "lulc",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Vector side of the pyramid: per-cell tile counts + per-category
-    counts at every zoom level.
+    counts at every zoom level. Returns (res, cell, n_tiles, n_cat)
+    ordered.
 
     Scale design: the FULL tile table shuffles exactly once — into a
     (cell, cat) PAIR-COUNT table at the leaf (map-side combine
-    collapses each partition to its distinct pairs first). Every
-    coarser level re-aggregates the pair table below it (a table ~4x
-    smaller each step) with a pure right-shift groupBy, and per-cell
-    stats fall out of each level's pair table as sum(n)/count(*) —
-    all codegen'd HashAggregates over fixed-width rows. The previous
-    design carried collect_set(cat) arrays through every level
-    (ObjectHashAggregate, no codegen): with a high-cardinality
-    category column the per-cell sets blow up at scale; pair counts
-    are bounded by (#cells x #cats per cell) and never materialize a
-    set. Returns (res, cell, n_tiles, n_cat) ordered."""
-    pairs = (
-        tiles_with_cell.groupBy("cell", F.col(cat_col).alias("cat"))
-        .agg(F.count("*").alias("n"))
-        .persist()
+    collapses each partition to its distinct pairs first); everything
+    after operates on pair counts, all codegen'd HashAggregates over
+    fixed-width rows (an earlier design carried collect_set(cat)
+    arrays through every level — ObjectHashAggregate, no codegen, and
+    per-cell sets blow up with category cardinality).
+
+    Two rollup strategies over the pair table:
+
+      - ``fused`` — ONE lazy plan: explode each leaf pair to its L
+        (res, parent-cell) ancestors, one groupBy(res, cell, cat),
+        one groupBy(res, cell). Shuffle volume <= L x 4^leaf_res x
+        n_cats rows REGARDLESS of input size, and plan-compile cost
+        is 3 stages instead of ~2L (first-execution codegen of ~2L
+        distinct plans dominates shallow-pyramid latency).
+      - ``hierarchical`` — each level re-aggregates the one below it
+        (a table ~4x smaller each step). For DEEP pyramids the leaf
+        pair table can approach the input's distinct-key count, and
+        the geometric decay (~1.33x leaf) beats the explode's Lx.
+
+    ``auto`` picks fused while L x 4^leaf_res stays small (<= 2^26),
+    hierarchical beyond — the 100 TB deep-pyramid path."""
+    n_levels = leaf_res - min_res + 1
+    fused = strategy == "fused" or (
+        strategy == "auto" and n_levels * (4 ** leaf_res) <= (1 << 26)
     )
+    pairs = tiles_with_cell.groupBy("cell", F.col(cat_col).alias("cat")).agg(
+        F.count("*").alias("n")
+    )
+    if fused:
+        ancestors = F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("res"),
+                    cell_parent_col(F.col("cell"), leaf_res, r).alias("cell"),
+                )
+                for r in range(leaf_res, min_res - 1, -1)
+            ]
+        )
+        return (
+            pairs.select(F.explode(ancestors).alias("rc"), "cat", "n")
+            .groupBy(F.col("rc.res").alias("res"), F.col("rc.cell").alias("cell"), "cat")
+            .agg(F.sum("n").alias("n"))
+            # (res, cell, cat) unique -> n_cat = count(*)
+            .groupBy("res", "cell")
+            .agg(F.sum("n").alias("n_tiles"), F.count("*").cast("long").alias("n_cat"))
+            .orderBy("res", "cell")
+        )
+
+    pairs = pairs.persist()
     levels = [(leaf_res, pairs)]
     cur = pairs
     for res in range(leaf_res - 1, min_res - 1, -1):

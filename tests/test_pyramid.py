@@ -117,3 +117,29 @@ def test_vector_pyramid_matches_per_level_recompute(spark):
     assert len(got) == sum(
         len(np.unique(cell_leaf >> (2 * (leaf_res - r)))) for r in range(leaf_res, 2, -1)
     )
+
+
+def test_vector_pyramid_strategies_identical(spark):
+    rng = np.random.default_rng(11)
+    n = 3000
+    pdf = pd.DataFrame(
+        {
+            "k": np.arange(n),
+            "lon": rng.uniform(-60, 60, n),
+            "lat": rng.uniform(-50, 50, n),
+            "cat": rng.choice(list("abc"), n),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    enc = df.withColumn(
+        "cell",
+        F.udf(lambda lo, la: int(cells.cell_encode(np.array([lo]), np.array([la]), 6)[0]), "long")(
+            "lon", "lat"
+        ),
+    )
+    a = pyramid.vector_pyramid(enc, 6, 2, cat_col="cat", strategy="fused").collect()
+    b = pyramid.vector_pyramid(enc, 6, 2, cat_col="cat", strategy="hierarchical").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # auto picks fused at this depth: one lazy plan, same rows
+    c = pyramid.vector_pyramid(enc, 6, 2, cat_col="cat").collect()
+    assert [tuple(r) for r in c] == [tuple(r) for r in a]
