@@ -97,12 +97,24 @@ def run(spark, sf_dir: str, out_dir: str, conf: dict | None = None) -> dict:
     out_path = os.path.join(out_dir, "coords_with_labels.parquet")
     final.write.mode("overwrite").parquet(out_path)
     n = spark.read.parquet(out_path).count()
+
+    # S8 figure sink (gelos/plotting.py:48-58): category-colored
+    # scatter rendered by the engine's own PNG writer — driver-side
+    # over the small sampled coordinate frame, like the reference
+    from gelos_spark.operators import plotting
+
+    fig_path = os.path.join(
+        out_dir, plotting.figure_name(conf["model_name"], conf["strategy_name"])
+    )
+    fig = plotting.scatter_png(final.toPandas(), cx, cy, "label", fig_path)
     return {
         "rows": n,
         "memo_hit": memo_hit,
         "csv": csv_path,
         "coords_cols": [cx, cy],
         "out": out_path,
+        "figure": fig["path"],
+        "figure_points": fig["n_points"],
         "elapsed_sec": round(time.time() - t0, 3),
     }
 
