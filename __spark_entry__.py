@@ -962,7 +962,17 @@ def _perturb(spark, sf_dir):
     return out.select("image_id", "w", "h", "fmt", "phash")
 
 
-@_q("checkpoint_lineage")
+@_q(
+    "checkpoint_lineage",
+    # expected lineage is hand-derivable from the pipeline config: two
+    # stages over a 500-row synthetic table, each committed as ONE
+    # coalesced file -> per stage one 'file' row + one 'done' marker,
+    # rows_out propagated from the committed file's row count
+    "SELECT * FROM (VALUES "
+    "('cells', CAST(500 AS BIGINT), 'done'), ('cells', CAST(500 AS BIGINT), 'file'), "
+    "('tiles', CAST(500 AS BIGINT), 'done'), ('tiles', CAST(500 AS BIGINT), 'file')"
+    ") AS t(stage, rows_out, status)",
+)
 def _checkpoint_lineage(spark, sf_dir):
     # S9/J6/§2.9: per-partition lineage rows from a 2-stage
     # checkpointed pipeline (fresh run dir each call -> deterministic
