@@ -925,6 +925,95 @@ def _stream_window_counts(spark, sf_dir):
     return spark.table(name)
 
 
+@_q(
+    "stream_running_stats",
+    _cell_cte(
+        "SELECT CAST(event_id AS VARCHAR) AS image_id, "
+        f"{_coord_sql('event_id', _LON)} AS lon, {_coord_sql('event_id', _LAT)} AS lat, ts "
+        "FROM events",
+        5,
+        carry="image_id, lon, lat, ts",
+    )
+    + "\nSELECT cell, count(*) AS n_tiles, min(ts) AS first_ts, max(ts) AS last_ts "
+    "FROM mz GROUP BY cell",
+)
+def _stream_running_stats(spark, sf_dir):
+    # custom stateful streaming operator (applyInPandasWithState
+    # running per-cell rollup): processed via availableNow over the
+    # static events table, the final running totals equal the batch
+    # GROUP BY — the oracle. Update-mode rows are folded by
+    # monotonicity (counts only grow, first/last only widen).
+    import os
+    import tempfile
+
+    from gelos_spark.streaming import ingest
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    d = os.path.join(tempfile.gettempdir(), f"gelos_stream_events_{abs(hash(sf_dir))}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    stream = spark.readStream.schema(batch.schema).parquet(d)
+    pts = stream.select(
+        F.col("event_id").cast("string").alias("image_id"),
+        _coord_col("event_id", _LON).alias("lon"),
+        _coord_col("event_id", _LAT).alias("lat"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    stats = ingest.running_cell_stats(pts, res=16, agg_res=5)
+    name = "stream_running_stats_sink"
+    q = (
+        stats.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy("cell")
+        .agg(
+            F.max("n_tiles").alias("n_tiles"),
+            F.min("first_ts").alias("first_ts"),
+            F.max("last_ts").alias("last_ts"),
+        )
+    )
+
+
+@_q(
+    "snapshot_time_travel",
+    # hand-derivable: snapshot 1 = range(0,100), current adds
+    # range(100,150); sums are n(n-1)/2 arithmetic
+    "SELECT * FROM (VALUES "
+    "('current', CAST(150 AS BIGINT), CAST(11175 AS BIGINT)), "
+    "('s1', CAST(100 AS BIGINT), CAST(4950 AS BIGINT))"
+    ") AS t(snap, n_rows, sum_id)",
+)
+def _snapshot_time_travel(spark, sf_dir):
+    # Iceberg-semantics snapshot layer: atomic append retains every
+    # manifest; read(snapshot_id) time-travels to any committed state
+    # (the resume path reads lineage as-of the last good snapshot)
+    import shutil
+    import tempfile
+
+    from gelos_spark.tables.snapshot import SnapshotTable
+
+    root = f"{tempfile.gettempdir()}/gelos_tt_q"
+    shutil.rmtree(root, ignore_errors=True)
+    t = SnapshotTable(root)
+    s1 = t.append(spark.range(0, 100).coalesce(1))
+    t.append(spark.range(100, 150).coalesce(1))
+    rows = []
+    for snap, sid in (("s1", s1), ("current", None)):
+        agg = t.read(spark, sid).agg(
+            F.count("*").alias("n"), F.sum("id").alias("s")
+        ).collect()[0]
+        rows.append((snap, int(agg["n"]), int(agg["s"])))
+    return spark.createDataFrame(rows, "snap string, n_rows long, sum_id long")
+
+
 # ---------------------------------- rows-only checks (no SQL analog)
 
 
