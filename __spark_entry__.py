@@ -983,6 +983,31 @@ def _stream_running_stats(spark, sf_dir):
 
 
 @_q(
+    "raster_pyramid",
+    # hand-derivable: 256 leaf tiles on a full 16x16 res-4 grid roll up
+    # to 64 parents of exactly 4 children each, re-encoded raw at the
+    # child tile size (pixel content is pytest's job — tests/test_pyramid.py)
+    "SELECT CAST(i AS BIGINT) AS cell, CAST(16 AS INTEGER) AS w, "
+    "CAST(16 AS INTEGER) AS h, 'raw' AS fmt, CAST(4 AS BIGINT) AS n_leaves "
+    "FROM range(0, 64) t(i)",
+)
+def _raster_pyramid(spark, sf_dir):
+    # A7 raster path: grouped-applyInPandas zoom step — decode <=4
+    # children, compose the 2x mosaic, 2x2 mean downsample, re-encode
+    from gelos_spark.operators import pyramid
+    from gelos_spark.sources import synth
+
+    imgs = synth.images_df(spark, 256, w=16, seed=42, parts=8)
+    leaves = (
+        imgs.withColumn("cell", F.expr("CAST(substring(image_id, 4) AS BIGINT)"))
+        .select("cell", "bytes", "w", "h", "fmt", "caption")
+        .withColumn("n_leaves", F.lit(1).cast("long"))
+    )
+    lvl = pyramid.pyramid_level_up(leaves, res=4)
+    return lvl.select("cell", "w", "h", "fmt", "n_leaves")
+
+
+@_q(
     "snapshot_time_travel",
     # hand-derivable: snapshot 1 = range(0,100), current adds
     # range(100,150); sums are n(n-1)/2 arithmetic
