@@ -1008,6 +1008,36 @@ def _raster_pyramid(spark, sf_dir):
 
 
 @_q(
+    "merge_pyramids",
+    # hand-derivable: pyramid A holds cells 0..255, pyramid B holds
+    # 128..383; the cogrouped merge passes disjoint cells through
+    # (n_leaves 1) and averages the 128..255 overlap (n_leaves 2)
+    "SELECT CAST(i AS BIGINT) AS cell, CAST(16 AS INTEGER) AS w, "
+    "CAST(16 AS INTEGER) AS h, "
+    "CASE WHEN i BETWEEN 128 AND 255 THEN CAST(2 AS BIGINT) ELSE CAST(1 AS BIGINT) END "
+    "AS n_leaves FROM range(0, 384) t(i)",
+)
+def _merge_pyramids(spark, sf_dir):
+    # the north rule's 'mergeInPandas': cogrouped applyInPandas merge
+    # of two raster pyramids — overlap cells pixel-averaged, disjoint
+    # cells pass through (pixel math is pytest's job,
+    # tests/test_pyramid.py)
+    from gelos_spark.operators import pyramid
+    from gelos_spark.sources import synth
+
+    def leaves(lo, hi):
+        return (
+            synth.images_df(spark, hi - lo, w=16, seed=42, parts=8)
+            .withColumn("cell", F.expr("CAST(substring(image_id, 4) AS BIGINT)") + F.lit(lo))
+            .select("cell", "bytes", "w", "h", "fmt", "caption")
+            .withColumn("n_leaves", F.lit(1).cast("long"))
+        )
+
+    merged = pyramid.merge_pyramids(leaves(0, 256), leaves(128, 384))
+    return merged.select("cell", "w", "h", "n_leaves")
+
+
+@_q(
     "snapshot_time_travel",
     # hand-derivable: snapshot 1 = range(0,100), current adds
     # range(100,150); sums are n(n-1)/2 arithmetic
