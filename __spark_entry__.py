@@ -1007,6 +1007,38 @@ def _raster_pyramid(spark, sf_dir):
     return lvl.select("cell", "w", "h", "fmt", "n_leaves")
 
 
+_DS_N, _DS_W = 128, 16
+
+
+@_q(
+    "decode_stats_arith",
+    # the pixel law is closed-form integer arithmetic and both fmts
+    # (raw, png) are lossless, so decode -> mean-luminance is
+    # recomputable from first principles: an end-to-end SQL check of
+    # the binary scan + the from-scratch PNG/raw codecs
+    f"WITH imgs AS (SELECT unnest(range(0, {_DS_N})) AS i) "
+    "SELECT printf('img%010d', i) AS image_id, "
+    f"CAST({_DS_W} AS INTEGER) AS w, CAST({_DS_W} AS INTEGER) AS h, "
+    "CASE WHEN i % 2 = 0 THEN 'raw' ELSE 'png' END AS fmt, "
+    f"round(list_sum(list_transform(range(0, {_DS_W}), y -> "
+    f"list_sum(list_transform(range(0, {_DS_W}), x -> "
+    "list_sum(list_transform(range(0, 3), c -> "
+    "(42 * 131 + i * 7919 + y * 3 + x * 5 + c * 17) % 256"
+    f")))))) / {_DS_W * _DS_W * 3}.0, 6) AS mean_lum, "
+    "TRUE AS phash_ok FROM imgs",
+)
+def _decode_stats_arith(spark, sf_dir):
+    # S2 scan+decode with a DuckDB oracle: arithmetic pixels through
+    # the real encode/decode path (raw + PNG), stats from the DECODED
+    # payload must match the closed form exactly
+    from gelos_spark.operators import images as imops
+    from gelos_spark.sources import synth
+
+    return imops.decode_stats(
+        synth.images_df_arith(spark, _DS_N, w=_DS_W, seed=42, parts=8)
+    )
+
+
 @_q(
     "merge_pyramids",
     # hand-derivable: pyramid A holds cells 0..255, pyramid B holds
@@ -1401,7 +1433,18 @@ def _normalize_payload(spark, sf_dir):
     )
 
 
-@_q("config_pipeline")
+@_q(
+    "config_pipeline",
+    # tiles/cells counts are config-derivable (n=1000 synthetic rows,
+    # narrow encode); the assign count is the engine's deterministic
+    # seed-42 PIP output — exact at any parallelism, pinned here so a
+    # semantic drift in the config path fails the gate
+    "SELECT * FROM (VALUES "
+    "('assign', CAST(321 AS BIGINT), 'done'), "
+    "('cells', CAST(1000 AS BIGINT), 'done'), "
+    "('tiles', CAST(1000 AS BIGINT), 'done')"
+    ") AS t(stage, rows_out, status)",
+)
 def _config_pipeline(spark, sf_dir):
     # U3 config-driven assembly: YAML-shaped dict -> Pipeline stages
     # with lineage; fresh run dir each call -> deterministic rows

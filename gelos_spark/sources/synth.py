@@ -159,6 +159,64 @@ def images_df(spark: SparkSession, n: int, w: int = 64, seed: int = 42, parts: i
     return rng_df.mapInArrow(gen, IMAGES_SCHEMA)
 
 
+def images_df_arith(
+    spark: SparkSession, n: int, w: int = 16, seed: int = 42, parts: int | None = None
+) -> DataFrame:
+    """Images with CLOSED-FORM pixels — px[y,x,c] = (seed*131 + i*7919
+    + y*3 + x*5 + c*17) % 256 — alternating between the two LOSSLESS
+    codecs (raw, png). Because decode(encode(px)) == px and the pixel
+    law is pure integer arithmetic, any statistic of the decoded
+    payload is recomputable in SQL from first principles: the oracle
+    path that lets the scan+decode pipeline (including the
+    from-scratch PNG codec) be DuckDB-checked end-to-end. The Philox
+    generator ``images_df`` stays the default for everything needing
+    realistic pixel structure (qdct/phash tests)."""
+    h = w
+
+    def gen(batches):
+        yy, xx = np.mgrid[0:h, 0:w]
+        for batch in batches:
+            ids = batch.column("id").to_numpy()
+            rows = []
+            for i in ids:
+                i = int(i)
+                px = (
+                    (seed * 131 + i * 7919 + yy * 3 + xx * 5)[:, :, None]
+                    + np.arange(3) * 17
+                ) % 256
+                px = px.astype(np.uint8)
+                fmt = "raw" if i % 2 == 0 else "png"
+                rows.append(
+                    {
+                        "image_id": f"img{i:010d}",
+                        "bytes": codec.encode(px, fmt),
+                        "w": np.int32(w),
+                        "h": np.int32(h),
+                        "fmt": fmt,
+                        "caption": f"arith tile #{i}",
+                        "phash": np.int64(codec.phash64(px)),
+                    }
+                )
+            yield pa.RecordBatch.from_pandas(
+                pd.DataFrame(rows),
+                schema=pa.schema(
+                    [
+                        ("image_id", pa.string()),
+                        ("bytes", pa.binary()),
+                        ("w", pa.int32()),
+                        ("h", pa.int32()),
+                        ("fmt", pa.string()),
+                        ("caption", pa.string()),
+                        ("phash", pa.int64()),
+                    ]
+                ),
+                preserve_index=False,
+            )
+
+    rng_df = spark.range(0, n, 1, parts or max(8, n // 4096))
+    return rng_df.mapInArrow(gen, IMAGES_SCHEMA)
+
+
 def tracker_df(spark: SparkSession, n: int, seed: int = 42, parts: int | None = None) -> DataFrame:
     """Companion chip_tracker(image_id, lon, lat, lulc) — geolocation
     lives beside the payload as in the reference (tests/utils.py:97-113)."""
