@@ -62,11 +62,20 @@ def main():
     ).save()
 
     timings: dict[str, float] = {}
+    headline: list[str] = []
 
     def run(name, fn):
+        # cold measurement (comparable to earlier rounds' single-shot
+        # numbers) + a warm repeat: the VM's noisy-neighbor variance
+        # measured at +-40% run-to-run, and the warm number is the
+        # engine's steady state (plan codegen + python forks excluded)
         t0 = t()
         fn()
         timings[name] = round(t() - t0, 3)
+        headline.append(name)
+        t1 = t()
+        fn()
+        timings[f"{name}_warm"] = round(t() - t1, 3)
 
     # flagship: cell encode -> PIP cell-prefix join -> assignment over
     # the orders-derived point table (the "tiles"); first run includes
@@ -74,7 +83,6 @@ def main():
     tiles = entry._points_df(orders, "o_orderkey")
     flagship = pip_join(spark, tiles, entry.POLYGONS)
     run("q_pip_flagship", lambda: materialize(flagship))
-    run("q_pip_flagship_warm", lambda: materialize(flagship))
     tiles_per_sec = round(n_tiles / timings["q_pip_flagship_warm"], 1)
 
     # cell encode + multi-zoom vector pyramid over the full lineitem
@@ -130,7 +138,11 @@ def main():
         lambda: materialize(similarity.brute_force_topk(embeddings, q_emb, k=10)),
     )
 
-    total = round(sum(timings.values()), 3)
+    # total over the SAME key set earlier rounds reported (cold runs +
+    # the flagship warm repeat) so round-over-round values compare
+    total = round(
+        sum(timings[k] for k in headline) + timings["q_pip_flagship_warm"], 3
+    )
     print(
         json.dumps(
             {
