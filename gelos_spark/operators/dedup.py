@@ -332,14 +332,17 @@ def minhash_lsh_pairs(
     est = F.expr(
         "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
     ) / F.lit(float(num_hashes))
+    # eager localCheckpoint materializes the pairs (so the signature
+    # cache can be released NOW) without pinning executor cache: its
+    # blocks are reference-counted and freed when the caller drops the
+    # frame, unlike a returned .persist() no caller ever unpersists
     out = (
         cand.withColumn("est_jaccard", est)
         .where(F.col("est_jaccard") >= min_jaccard)
         .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
         .orderBy("id_a", "id_b")
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    out.count()  # materialize so the signature cache can be released
     sigs.unpersist()  # no cache growth across repeated calls
     return out
 

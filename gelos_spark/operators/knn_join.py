@@ -253,14 +253,16 @@ def knn_join(
     out = finalized[0]
     for f in finalized[1:]:
         out = out.unionByName(f)
+    # eager localCheckpoint: materializes the top-k (so every round
+    # cache can be released now) and its blocks are GC-reference-counted
+    # — no permanently-persisted return value growing executor cache
     result = (
         out.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= F.col("k"))
         .select("query_id", "rank", "image_id", "dist_km")
         .orderBy("query_id", "rank")
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    result.count()
     tiles_c.unpersist()
     for f in persisted:
         f.unpersist()

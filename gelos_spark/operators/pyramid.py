@@ -114,7 +114,11 @@ def build_pyramid(
     """Full raster pyramid: {res: tiles DataFrame} from leaf_res down
     to min_res. Leaves: (cell, bytes, w, h, fmt, caption); each level
     is built from the one below (logarithmic number of shuffles, each
-    keyed on the parent cell)."""
+    keyed on the parent cell).
+
+    Each returned level is persisted (level N feeds level N-1, so the
+    cache prevents re-decoding the whole chain per level); the CALLER
+    owns unpersisting the levels it is done with."""
     levels: dict[int, DataFrame] = {}
     cur = leaves.withColumn("n_leaves", F.lit(1).cast("long"))
     levels[leaf_res] = cur
@@ -202,8 +206,10 @@ def vector_pyramid(
             F.sum("n").alias("n_tiles"), F.count("*").cast("long").alias("n_cat")
         ).select(F.lit(res).alias("res"), "cell", "n_tiles", "n_cat")
         out = stats if out is None else out.unionByName(stats)
-    result = out.orderBy("res", "cell").persist()
-    result.count()  # materialize, then release the level caches
+    # eager localCheckpoint materializes the rollup so the level caches
+    # can be released now; unlike a returned .persist(), its blocks are
+    # freed by the context cleaner once the caller drops the frame
+    result = out.orderBy("res", "cell").localCheckpoint(eager=True)
     for _, lvl in levels:
         lvl.unpersist()
     return result

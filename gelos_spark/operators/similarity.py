@@ -265,16 +265,27 @@ def ivf_topk(
     order = np.argsort(-(qn @ cn.T), axis=1)[:, :nprobe]  # [Q, nprobe]
     probes = pd.DataFrame(
         {
-            "query_id": [int(v) for v in np.repeat(qpdf["query_id"].to_numpy(), nprobe)],
+            # keep native Python values (np scalars break inference-free
+            # createDataFrame); the id keeps whatever type the caller's
+            # qid_col has — string image_ids work the same as ints
+            "query_id": list(np.repeat(qpdf["query_id"].to_numpy(), nprobe)),
             "qv": [v.tolist() for v in np.repeat(qm, nprobe, axis=0)],
             "cid": [int(c) for c in order.ravel()],
         }
     )
     # explicit schema: plain (non-Arrow) sessions cannot infer the
-    # type of list-of-np.float64 cells (CANNOT_INFER_TYPE_FOR_FIELD)
-    qdf = spark.createDataFrame(
-        probes, "query_id long, qv array<double>, cid int"
-    ).withColumn("qn", _norm_expr("qv"))
+    # type of list-of-np.float64 cells (CANNOT_INFER_TYPE_FOR_FIELD);
+    # the query_id field type is taken from the input schema rather
+    # than hardcoded, so non-integer id columns survive the round-trip
+    qid_type = queries.schema[qid_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField("query_id", qid_type),
+            T.StructField("qv", T.ArrayType(T.DoubleType())),
+            T.StructField("cid", T.IntegerType()),
+        ]
+    )
+    qdf = spark.createDataFrame(probes, schema).withColumn("qn", _norm_expr("qv"))
     cand = index.join(F.broadcast(qdf), "cid").select(
         "query_id",
         "vec_id",

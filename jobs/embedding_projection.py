@@ -89,8 +89,12 @@ def run(spark, sf_dir: str, out_dir: str, conf: dict | None = None) -> dict:
     coords, memo_hit = prj.tsne_with_memo(spark, csv_path, compute, id_col="vec_id")
 
     # plotting.py:34-35 alignment: coords x category, order-preserving
+    # broadcast the SMALL side: coords holds <= n_sample rows while the
+    # corpus id/label column is corpus-sized — hinting the corpus would
+    # ship it to every executor at scale
     final = (
-        coords.join(F.broadcast(emb.select("vec_id", "label")), "vec_id")
+        emb.select("vec_id", "label")
+        .join(F.broadcast(coords), "vec_id")
         .select("vec_id", "label", cx, cy)
         .orderBy("vec_id")
     )
