@@ -862,22 +862,24 @@ _MASK_KEEP = 8
     f"FROM r WHERE rn <= {_MASK_KEEP}",
 )
 def _mask_topk(spark, sf_dir):
-    # W4: random-mask top-k (keep len_keep of argsort(noise), the kept
-    # (pos, val) rows restore the original order) — noise = a
-    # deterministic integer hash shared with the oracle, so both
-    # engines keep identical positions; output is scalar rows (the
-    # driver's canonicalizer cannot sort array columns)
+    # W4: the real per-row mask kernel (operators/masking.random_mask,
+    # vectorized argsort-of-noise per Arrow batch — the reference's
+    # random_masking, models/prithvi_eo_v2.py:317-348) with the
+    # exploded window-SQL form as its oracle: the kernel's kept
+    # (pos, val) set must equal the hash-ordered rn <= len_keep rows.
+    # Scalar output rows because the driver's canonicalizer cannot
+    # sort array columns.
+    from gelos_spark.operators.masking import random_mask
+
     (emb,) = _tables(spark, sf_dir, "embeddings")
-    e = emb.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
-    h = (F.col("vec_id") * F.lit(2654435761) + (F.col("pos") + 1) * F.lit(40503)) % F.lit(
-        4294967296
+    masked = random_mask(emb, "embedding", "vec_id", len_keep=_MASK_KEEP)
+    kept = masked.select(
+        "vec_id", F.explode(F.arrays_zip("kept_pos", "kept_val")).alias("kv")
     )
-    w = Window.partitionBy("vec_id").orderBy(h.asc(), F.col("pos").asc())
-    kept = e.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= _MASK_KEEP)
     return kept.select(
         "vec_id",
-        (F.col("pos") + 1).cast("long").alias("pos"),  # oracle pos is 1-based
-        F.col("val").cast("double").alias("val"),
+        (F.col("kv.kept_pos") + 1).cast("long").alias("pos"),  # oracle pos is 1-based
+        F.col("kv.kept_val").cast("double").alias("val"),
     )
 
 
