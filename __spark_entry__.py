@@ -1343,19 +1343,30 @@ def _normalize_payload(spark, sf_dir):
 
 @_q(
     "config_pipeline",
-    # tiles/cells counts are config-derivable (n=1000 synthetic rows,
-    # narrow encode); the assign count is the engine's deterministic
-    # seed-42 PIP output — exact at any parallelism, pinned here so a
-    # semantic drift in the config path fails the gate
+    # every count is config-derivable: tiles/cells n=1000 synthetic
+    # rows; images n=48 -> stack/norm/embed/coords 48*2 sensors = 96;
+    # the assign count is the engine's deterministic seed-42 PIP
+    # output — exact at any parallelism, pinned here so a semantic
+    # drift in the config path fails the gate
     "SELECT * FROM (VALUES "
     "('assign', CAST(321 AS BIGINT), 'done'), "
     "('cells', CAST(1000 AS BIGINT), 'done'), "
+    "('coords', CAST(96 AS BIGINT), 'done'), "
+    "('embed', CAST(96 AS BIGINT), 'done'), "
+    "('images', CAST(48 AS BIGINT), 'done'), "
+    "('norm', CAST(96 AS BIGINT), 'done'), "
+    "('stack', CAST(96 AS BIGINT), 'done'), "
     "('tiles', CAST(1000 AS BIGINT), 'done')"
     ") AS t(stage, rows_out, status)",
 )
 def _config_pipeline(spark, sf_dir):
     # U3 config-driven assembly: YAML-shaped dict -> Pipeline stages
-    # with lineage; fresh run dir each call -> deterministic rows
+    # with lineage; fresh run dir each call -> deterministic rows.
+    # Two DAG branches: the flagship tiles -> cells -> assign chain,
+    # and the U2 model chain images -> stack -> norm -> embed (named
+    # registered model, broadcast weights) -> pca coords — the engine
+    # analog of the reference's datamodule -> frozen-encoder predict
+    # -> projection run (gelos/embedding_generation.py:63-79).
     import shutil
     import tempfile
 
@@ -1363,6 +1374,8 @@ def _config_pipeline(spark, sf_dir):
 
     root = f"{tempfile.gettempdir()}/gelos_config_q"
     shutil.rmtree(root, ignore_errors=True)
+    all_bands = {"s1": ["VV", "VH"], "s2l2a": ["B02", "B03", "B04", "B08"]}
+    sel_bands = {"s1": ["VV", "VH"], "s2l2a": ["B02", "B08"]}
     conf = {
         "run_id": "oracle",
         "stages": [
@@ -1373,6 +1386,38 @@ def _config_pipeline(spark, sf_dir):
                 "op": "pip_join",
                 "input": "cells",
                 "args": {"n_aois": 8, "seed": 42, "tile_cell_col": "cell"},
+            },
+            {
+                "name": "images",
+                "op": "synth_multisensor",
+                "args": {"n": 48, "sensors": all_bands, "t_steps": 2, "w": 8, "seed": 42},
+            },
+            {
+                "name": "stack",
+                "op": "stack_sensors",
+                "input": "images",
+                "args": {"bands": all_bands, "want": sel_bands},
+            },
+            {
+                "name": "norm",
+                "op": "normalize_stacks",
+                "input": "stack",
+                "args": {"bands": sel_bands, "means": {"B02": 100.0}, "stds": {"B02": 8.0}},
+            },
+            {
+                "name": "embed",
+                "op": "embed",
+                "input": "norm",
+                "args": {
+                    "model": "linear_seeded",
+                    "model_args": {"d_in": 2, "d_out": 6, "seed": 42},
+                },
+            },
+            {
+                "name": "coords",
+                "op": "pca_project",
+                "input": "embed",
+                "args": {"id_col": "image_id", "k": 2},
             },
         ],
     }

@@ -124,6 +124,96 @@ def _op_sample_n(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
     )
 
 
+# -------------------------- model-inference chain (U2 completion):
+# tracker/images -> stack -> normalize -> embed -> pca/tsne, the
+# engine analog of the reference's datamodule -> frozen-encoder
+# predict -> projection run (gelos/gelosdataset.py:70-75,
+# embedding_generation.py:63-79, tsne_transform.py:8-11)
+
+
+@op("synth_multisensor")
+def _op_synth_multisensor(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
+    from gelos_spark.operators import multisensor as ms
+
+    return ms.multisensor_df(
+        spark,
+        int(conf["n"]),
+        sensors=conf.get("sensors"),
+        t_steps=int(conf.get("t_steps", 3)),
+        w=int(conf.get("w", 16)),
+        seed=int(conf.get("seed", 42)),
+    )
+
+
+@op("stack_sensors")
+def _op_stack_sensors(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
+    from gelos_spark.operators import multisensor as ms
+
+    return ms.stack_sensors(
+        conf["__input__"],
+        conf["bands"],
+        want=conf.get("want"),
+        output=conf.get("output", "dict"),
+        repeat_t=int(conf.get("repeat_t", 1)),
+    )
+
+
+@op("normalize_stacks")
+def _op_normalize_stacks(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
+    from gelos_spark.operators import multisensor as ms
+
+    return ms.normalize_stacks(
+        conf["__input__"],
+        conf["bands"],
+        means=conf.get("means"),
+        stds=conf.get("stds"),
+        class_means=conf.get("class_means"),
+        class_stds=conf.get("class_stds"),
+    )
+
+
+@op("embed")
+def _op_embed(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
+    from gelos_spark.operators.model import embed_stacks
+
+    return embed_stacks(
+        conf["__input__"],
+        conf.get("model", "linear_seeded"),
+        conf.get("model_args"),
+        dtype=conf.get("dtype", "float32"),
+    )
+
+
+@op("pca_project")
+def _op_pca_project(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
+    from gelos_spark.operators import projection as prj
+
+    df = conf["__input__"]
+    vec_col = conf.get("vec_col", "embedding")
+    model = prj.pca_train(df, vec_col=vec_col, k=int(conf.get("k", 2)))
+    return prj.pca_project(
+        df, model, id_col=conf.get("id_col", "image_id"), vec_col=vec_col
+    )
+
+
+@op("tsne")
+def _op_tsne(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
+    from gelos_spark.operators import projection as prj
+
+    pdf = prj.tsne_coords(
+        conf["__input__"],
+        id_col=conf.get("id_col", "image_id"),
+        vec_col=conf.get("vec_col", "embedding"),
+        model_name=conf.get("model_name", "engine"),
+        strategy=conf.get("strategy", "full"),
+        n_sample=int(conf.get("n_sample", 1000)),
+        perplexity=float(conf.get("perplexity", 30.0)),
+        n_iter=int(conf.get("n_iter", 300)),
+        seed=int(conf.get("seed", 42)),
+    )
+    return spark.createDataFrame(pdf)
+
+
 # ------------------------------------------------------------ runner
 
 
