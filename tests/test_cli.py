@@ -1,0 +1,84 @@
+"""CLI entry point (python -m gelos_spark run <conf>|<conf_dir>).
+
+Mirrors the reference CLI contract (gelos/embedding_generation.py:
+84-121): one YAML runs alone, a config dir globs and loops every
+config; re-running resume-skips completed stages via lineage.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from gelos_spark import cli
+
+CONF_A = """
+run_id: cli_a
+root: {root}/a
+stages:
+  - name: tiles
+    op: synth_tracker
+    args: {{n: 200, seed: 42}}
+  - name: cells
+    op: cell_encode
+    input: tiles
+    args: {{res: 12}}
+"""
+
+CONF_B = """
+run_id: cli_b
+root: {root}/b
+stages:
+  - name: tiles
+    op: synth_tracker
+    args: {{n: 120, seed: 7}}
+"""
+
+
+def _write_confs(tmp_path):
+    d = tmp_path / "confs"
+    d.mkdir()
+    (d / "a.yaml").write_text(CONF_A.format(root=tmp_path))
+    (d / "b.yaml").write_text(CONF_B.format(root=tmp_path))
+    (d / "ignored.txt").write_text("not a config")
+    return d
+
+
+def test_resolve_configs(tmp_path):
+    d = _write_confs(tmp_path)
+    assert [p.name for p in cli.resolve_configs(str(d))] == ["a.yaml", "b.yaml"]
+    assert [p.name for p in cli.resolve_configs(str(d / "b.yaml"))] == ["b.yaml"]
+    with pytest.raises(FileNotFoundError):
+        cli.resolve_configs(str(tmp_path / "missing"))
+    with pytest.raises(FileNotFoundError):
+        cli.resolve_configs(str(d), pattern="*.json")
+
+
+def test_run_config_dir_loops_all(spark, tmp_path, capsys):
+    d = _write_confs(tmp_path)
+    # --keep-session: reuse the test fixture's SparkSession
+    rc = cli.main(["run", str(d), "--keep-session"])
+    assert rc == 0
+    lines = [ln.split("\t") for ln in capsys.readouterr().out.strip().splitlines()]
+    assert ["a.yaml", "cells", "200"] in lines
+    assert ["a.yaml", "tiles", "200"] in lines
+    assert ["b.yaml", "tiles", "120"] in lines
+
+    # both runs committed with lineage on disk
+    from gelos_spark.plans.checkpoint import Pipeline
+
+    for sub, run_id, stages in (("a", "cli_a", 2), ("b", "cli_b", 1)):
+        pipe = Pipeline(spark, f"{tmp_path}/{sub}", run_id)
+        done = pipe.log.lineage(run_id).where("status = 'done'").count()
+        assert done == stages
+
+    # second invocation resume-skips: same lineage, no duplicate rows
+    cli.main(["run", str(d), "--keep-session"])
+    pipe = Pipeline(spark, f"{tmp_path}/a", "cli_a")
+    assert pipe.log.lineage("cli_a").where("status = 'done'").count() == 2
+
+
+def test_ops_lists_registry(capsys):
+    assert cli.main(["ops"]) == 0
+    out = capsys.readouterr().out.split()
+    for name in ("synth_tracker", "cell_encode", "pip_join", "embed", "tsne"):
+        assert name in out
