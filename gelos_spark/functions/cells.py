@@ -210,31 +210,54 @@ def knn_bound_km(lat: np.ndarray, res: int, r: int) -> np.ndarray:
     return r * np.minimum(h_km, np.maximum(w_km, 0.0))
 
 
-def cell_size_km(lat: np.ndarray, res: int) -> np.ndarray:
-    """Conservative (minimum) km extent of a res-r cell at latitude
-    ``lat`` — the min of the N-S extent and the E-W extent at the
-    latitude in the cell's row nearest the pole. Used as the kNN
-    ring-expansion termination bound: any tile in an unexplored cell
-    (Chebyshev distance >= r+1) is at least ``r * cell_size_km`` away."""
-    n = 1 << res
-    lat = np.abs(np.asarray(lat, dtype=np.float64))
-    h_km = 180.0 / n * KM_PER_DEG_LAT_MIN
-    # worst-case |lat| within +-r rows never exceeds 90 deg
-    w_km = 360.0 / n * KM_PER_DEG_LAT_MIN * np.cos(np.minimum(lat + 180.0 / n, 90.0) * np.pi / 180.0)
-    return np.minimum(h_km, np.maximum(w_km, 0.0))
+def unwrap_ring(ring: np.ndarray) -> tuple[np.ndarray, bool]:
+    """Antimeridian normalization: a ring whose consecutive vertices
+    jump more than 180 deg in longitude crosses the +-180 meridian;
+    unwrap it into the continuous [0, 360) frame (negative lons +360)
+    so bbox/cover/ray-cast math sees one contiguous polygon. Returns
+    (ring, False) unchanged for non-crossing rings. Points test
+    against an unwrapped ring with the SAME shift (lon < 0 -> +360)."""
+    ring = np.asarray(ring, dtype=np.float64)
+    dlon = np.abs(np.diff(np.concatenate([ring[:, 0], ring[:1, 0]])))
+    if not (dlon > 180.0).any():
+        return ring, False
+    out = ring.copy()
+    out[:, 0] = np.where(out[:, 0] < 0.0, out[:, 0] + 360.0, out[:, 0])
+    if float(out[:, 0].max() - out[:, 0].min()) > 180.0:
+        raise ValueError("ring spans more than 180 deg of longitude after unwrap")
+    return out, True
 
 
 def cover_bbox(lon_min: float, lat_min: float, lon_max: float, lat_max: float, res: int) -> np.ndarray:
-    """All res-r cells intersecting a lon/lat bbox (no antimeridian
-    crossing — FIXTURES.md documented limitation). Conservative cover
-    for the PIP coarse join; exactness comes from ray-cast refinement."""
+    """All res-r cells intersecting a lon/lat bbox. ``lon_max`` may
+    exceed 180 (the unwrapped antimeridian frame): x indices wrap
+    modulo the grid, so the cover splits across +-180 automatically.
+    Conservative cover for the PIP coarse join; exactness comes from
+    ray-cast refinement."""
+    cells, _ = _cover_grid(lon_min, lat_min, lon_max, lat_max, res)
+    return np.sort(cells)
+
+
+def _cover_grid(
+    lon_min: float, lat_min: float, lon_max: float, lat_max: float, res: int
+) -> tuple[np.ndarray, tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
+    """Cells + their UNWRAPPED rect bounds for a (possibly lon>180)
+    bbox. x indices wrap modulo n into cell ids; the returned bounds
+    stay in the continuous frame so polygon classification math is
+    consistent with an unwrapped ring."""
     n = 1 << res
-    x0 = int(np.clip(np.floor((lon_min + 180.0) / 360.0 * n), 0, n - 1))
-    x1 = int(np.clip(np.floor((lon_max + 180.0) / 360.0 * n), 0, n - 1))
+    x0 = int(max(np.floor((lon_min + 180.0) / 360.0 * n), 0))
+    x1 = int(np.floor((lon_max + 180.0) / 360.0 * n))
+    x1 = min(x1, x0 + n - 1)  # never cover the globe twice
     y0 = int(np.clip(np.floor((lat_min + 90.0) / 180.0 * n), 0, n - 1))
     y1 = int(np.clip(np.floor((lat_max + 90.0) / 180.0 * n), 0, n - 1))
     xs, ys = np.meshgrid(np.arange(x0, x1 + 1), np.arange(y0, y1 + 1))
-    return np.sort(xy_to_cell(xs.ravel(), ys.ravel()))
+    xs, ys = xs.ravel(), ys.ravel()
+    cells = xy_to_cell(xs % n, ys)
+    w, h = 360.0 / n, 180.0 / n
+    lon0 = -180.0 + xs * w  # unwrapped (continuous) bounds
+    lat0 = -90.0 + ys * h
+    return cells, (lon0, lat0, lon0 + w, lat0 + h)
 
 
 def polygon_cover(ring: np.ndarray, res: int, prune: bool = True) -> np.ndarray:
@@ -259,9 +282,13 @@ def polygon_cover_classified(
     edge -> dropped entirely)."""
     from gelos_spark.functions.geometry import points_in_polygon
 
-    ring = np.asarray(ring, dtype=np.float64)
-    cells = cover_bbox(ring[:, 0].min(), ring[:, 1].min(), ring[:, 0].max(), ring[:, 1].max(), res)
-    lon0, lat0, lon1, lat1 = cell_bounds(cells, res)
+    # antimeridian-crossing rings unwrap into the continuous frame;
+    # the cover grid wraps x back into real cell ids while the rect
+    # bounds stay unwrapped, so every test below is frame-consistent
+    ring, _ = unwrap_ring(np.asarray(ring, dtype=np.float64))
+    cells, (lon0, lat0, lon1, lat1) = _cover_grid(
+        ring[:, 0].min(), ring[:, 1].min(), ring[:, 0].max(), ring[:, 1].max(), res
+    )
     # (a) any polygon vertex inside the cell rect
     vx, vy = ring[:, 0], ring[:, 1]
     has_vertex = (

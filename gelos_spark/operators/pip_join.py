@@ -64,7 +64,7 @@ def pick_cover_res(aois: list[dict], max_cells_per_aoi: int = 2048) -> int:
     enough that no AOI explodes into more than ~max_cells."""
     max_extent = 1e-9
     for p in aois:
-        ring = np.asarray(p["ring"], dtype=np.float64)
+        ring, _ = cells.unwrap_ring(np.asarray(p["ring"], dtype=np.float64))
         max_extent = max(
             max_extent,
             float(ring[:, 0].max() - ring[:, 0].min()),
@@ -106,13 +106,16 @@ def build_cover_df(spark: SparkSession, aois: list[dict], cover_res: int) -> Dat
 
 
 def build_edges_df(spark: SparkSession, aois: list[dict]) -> DataFrame:
-    """Exploded polygon-edge table (aoi_id, x1, y1, x2, y2) for the
-    relational ray-cast. Horizontal edges are dropped — they never
-    cross under the half-open rule (same as the NumPy kernel where
-    (y1 > p) != (y2 > p) is always false for y1 == y2)."""
+    """Exploded polygon-edge table (aoi_id, x1, y1, x2, y2, wrapped)
+    for the relational ray-cast. Horizontal edges are dropped — they
+    never cross under the half-open rule (same as the NumPy kernel
+    where (y1 > p) != (y2 > p) is always false for y1 == y2).
+    Antimeridian-crossing rings store UNWRAPPED edge lons (+360 on the
+    west side) with wrapped=true; candidates shift their lon the same
+    way before the crossing test."""
     rows = []
     for p in aois:
-        ring = np.asarray(p["ring"], dtype=np.float64)
+        ring, wrapped = cells.unwrap_ring(np.asarray(p["ring"], dtype=np.float64))
         if len(ring) >= 2 and ring[0, 0] == ring[-1, 0] and ring[0, 1] == ring[-1, 1]:
             ring = ring[:-1]
         v = len(ring)
@@ -120,20 +123,22 @@ def build_edges_df(spark: SparkSession, aois: list[dict]) -> DataFrame:
             x1, y1 = float(ring[i, 0]), float(ring[i, 1])
             x2, y2 = float(ring[(i + 1) % v, 0]), float(ring[(i + 1) % v, 1])
             if y1 != y2:
-                rows.append((int(p["aoi_id"]), x1, y1, x2, y2))
+                rows.append((int(p["aoi_id"]), x1, y1, x2, y2, wrapped))
     return spark.createDataFrame(
-        pd.DataFrame(rows, columns=["aoi_id", "x1", "y1", "x2", "y2"]),
-        schema="aoi_id long, x1 double, y1 double, x2 double, y2 double",
+        pd.DataFrame(rows, columns=["aoi_id", "x1", "y1", "x2", "y2", "wrapped"]),
+        schema="aoi_id long, x1 double, y1 double, x2 double, y2 double, wrapped boolean",
     )
 
 
 def build_aoi_edges_df(spark: SparkSession, aois: list[dict]) -> DataFrame:
-    """(aoi_id, edges: array<struct<x1,y1,x2,y2>>) — one row per AOI,
-    edges as an array so the whole polygon rides inside the broadcast
-    and the crossing count becomes a map-side array aggregate."""
+    """(aoi_id, edges: array<struct<x1,y1,x2,y2>>, wrapped) — one row
+    per AOI, edges as an array so the whole polygon rides inside the
+    broadcast and the crossing count becomes a map-side array
+    aggregate. Antimeridian rings carry unwrapped lons + wrapped=true
+    (see build_edges_df)."""
     rows = []
     for p in aois:
-        ring = np.asarray(p["ring"], dtype=np.float64)
+        ring, wrapped = cells.unwrap_ring(np.asarray(p["ring"], dtype=np.float64))
         if len(ring) >= 2 and ring[0, 0] == ring[-1, 0] and ring[0, 1] == ring[-1, 1]:
             ring = ring[:-1]
         v = len(ring)
@@ -143,10 +148,11 @@ def build_aoi_edges_df(spark: SparkSession, aois: list[dict]) -> DataFrame:
             x2, y2 = float(ring[(i + 1) % v, 0]), float(ring[(i + 1) % v, 1])
             if y1 != y2:
                 es.append({"x1": x1, "y1": y1, "x2": x2, "y2": y2})
-        rows.append((int(p["aoi_id"]), es))
+        rows.append((int(p["aoi_id"]), es, wrapped))
     return spark.createDataFrame(
         rows,
-        "aoi_id long, edges array<struct<x1 double, y1 double, x2 double, y2 double>>",
+        "aoi_id long, edges array<struct<x1 double, y1 double, x2 double, y2 double>>, "
+        "wrapped boolean",
     )
 
 
@@ -173,10 +179,15 @@ def refine_relational(cand: DataFrame, edges: DataFrame, cols: list[str]) -> Dat
     correctly outside. Runs entirely in whole-stage codegen; the only
     shuffle is the parity groupBy (map-side combined, keyed by the
     candidate — skew-free because each candidate is its own group)."""
+    # wrapped AOIs store unwrapped edge lons; shift the point the same
+    # way (lon < 0 -> +360) so both sit in the continuous frame
+    lon_adj = F.when(
+        F.col("wrapped") & (F.col("lon") < 0.0), F.col("lon") + 360.0
+    ).otherwise(F.col("lon"))
     crossing = (
         ((F.col("y1") > F.col("lat")) != (F.col("y2") > F.col("lat")))
         & (
-            F.col("lon")
+            lon_adj
             < (F.col("x2") - F.col("x1"))
             * (F.col("lat") - F.col("y1"))
             / (F.col("y2") - F.col("y1"))
@@ -197,7 +208,10 @@ def contains_udf(spark: SparkSession, aois: list[dict]):
     """pandas_udf (aoi_id, lon, lat) -> bool, exact ray-cast PIP.
     Rings ship once per executor via a Spark broadcast variable;
     the kernel vectorizes over each distinct aoi in the batch."""
-    rings = {int(p["aoi_id"]): np.asarray(p["ring"], dtype=np.float64) for p in aois}
+    rings = {
+        int(p["aoi_id"]): cells.unwrap_ring(np.asarray(p["ring"], dtype=np.float64))
+        for p in aois
+    }
     bc = spark.sparkContext.broadcast(rings)
 
     @F.pandas_udf(T.BooleanType())
@@ -209,7 +223,9 @@ def contains_udf(spark: SparkSession, aois: list[dict]):
         out = np.zeros(len(ids), dtype=bool)
         for a in np.unique(ids):
             m = ids == a
-            out[m] = points_in_polygon(px[m], py[m], r[int(a)])
+            ring, wrapped = r[int(a)]
+            x = np.where(px[m] < 0.0, px[m] + 360.0, px[m]) if wrapped else px[m]
+            out[m] = points_in_polygon(x, py[m], ring)
         return pd.Series(out)
 
     return _contains
@@ -266,11 +282,14 @@ def pip_join(
     cols = ["aoi_id", "image_id", "lon", "lat"]
     if refine == "expr":
         aoi_edges = F.broadcast(build_aoi_edges_df(spark, aois))
+        lon_adj = F.when(
+            F.col("wrapped") & (F.col("lon") < 0.0), F.col("lon") + 360.0
+        ).otherwise(F.col("lon"))
         out = (
             coarse.join(aoi_edges, "aoi_id")
             .where(
                 F.col("interior")
-                | (crossing_count_expr(F.col("edges"), F.col("lon"), F.col("lat")) % 2 == 1)
+                | (crossing_count_expr(F.col("edges"), lon_adj, F.col("lat")) % 2 == 1)
             )
             .select(*cols)
         )

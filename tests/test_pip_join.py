@@ -75,3 +75,90 @@ def test_refine_variants_identical(spark):
     kb = [(r.aoi_id, r.image_id) for r in b]
     kc = [(r.aoi_id, r.image_id) for r in c]
     assert ka == kb == kc and len(ka) > 0
+
+
+# ------------------------------------------------- antimeridian AOIs
+
+
+def _am_aois():
+    """AOIs straddling +-180: a quad and a pentagon whose rings jump
+    between +17x and -17x longitudes."""
+    return [
+        {"aoi_id": 0, "name": "am_quad",
+         "ring": [(175.0, -10.0), (-175.0, -10.0), (-175.0, 12.0), (175.0, 12.0)]},
+        {"aoi_id": 1, "name": "am_pent",
+         "ring": [(172.0, 20.0), (-178.0, 18.0), (-174.0, 30.0),
+                  (178.0, 36.0), (170.0, 28.0)]},
+    ]
+
+
+def _am_points(spark, n=3000, seed=11):
+    """Deterministic points concentrated around the antimeridian on
+    both sides, in the engine's canonical [-180, 180) frame."""
+    rng = np.random.default_rng(seed)
+    lon = ((rng.uniform(160.0, 200.0, n) + 180.0) % 360.0) - 180.0
+    lat = rng.uniform(-25.0, 45.0, n)
+    pdf = pd.DataFrame(
+        {"image_id": [f"am{i:06d}" for i in range(n)], "lon": lon, "lat": lat}
+    )
+    return spark.createDataFrame(pdf), pdf
+
+
+def _brute_pip_am(pdf: pd.DataFrame, aois: list[dict]) -> set[tuple[int, str]]:
+    from gelos_spark.functions.cells import unwrap_ring
+
+    out = set()
+    lon = pdf["lon"].to_numpy()
+    lat = pdf["lat"].to_numpy()
+    ids = pdf["image_id"].to_numpy()
+    for p in aois:
+        ring, wrapped = unwrap_ring(np.asarray(p["ring"], dtype=np.float64))
+        x = np.where(lon < 0.0, lon + 360.0, lon) if wrapped else lon
+        inside = points_in_polygon(x, lat, ring)
+        for i in np.nonzero(inside)[0]:
+            out.add((p["aoi_id"], ids[i]))
+    return out
+
+
+@pytest.mark.parametrize("refine", ["expr", "sql", "udf"])
+def test_pip_join_antimeridian(spark, refine):
+    aois = _am_aois()
+    tiles, pdf = _am_points(spark)
+    got = pip_join(spark, tiles, aois, refine=refine).toPandas()
+    exp = _brute_pip_am(pdf, aois)
+    assert set(zip(got["aoi_id"].tolist(), got["image_id"].tolist())) == exp
+    # sanity: the AOIs really get hits on BOTH sides of +-180
+    assert (got["lon"] > 170).any() and (got["lon"] < -170).any()
+
+
+def test_pip_join_mixed_wrapped_and_plain(spark):
+    """Wrapped and ordinary AOIs coexist in one join."""
+    aois = _am_aois() + [
+        {"aoi_id": 2, "name": "plain",
+         "ring": [(-10.0, -5.0), (10.0, -5.0), (10.0, 15.0), (-10.0, 15.0)]}
+    ]
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame(
+        {
+            "image_id": [f"mx{i:05d}" for i in range(2000)],
+            "lon": ((rng.uniform(-30.0, 210.0, 2000) + 180.0) % 360.0) - 180.0,
+            "lat": rng.uniform(-25.0, 45.0, 2000),
+        }
+    )
+    got = pip_join(spark, spark.createDataFrame(pdf), aois).toPandas()
+    exp = _brute_pip_am(pdf, aois)
+    assert set(zip(got["aoi_id"].tolist(), got["image_id"].tolist())) == exp
+    assert (got["aoi_id"] == 2).any()
+
+
+def test_unwrap_ring_contract():
+    from gelos_spark.functions.cells import unwrap_ring
+
+    plain = np.asarray([(-10.0, 0.0), (10.0, 0.0), (0.0, 10.0)])
+    r, w = unwrap_ring(plain)
+    assert not w and np.array_equal(r, plain)
+    am = np.asarray([(175.0, 0.0), (-175.0, 0.0), (180.0, 10.0)])
+    r, w = unwrap_ring(am)
+    assert w and r[:, 0].tolist() == [175.0, 185.0, 180.0]
+    with pytest.raises(ValueError, match="180 deg"):
+        unwrap_ring(np.asarray([(170.0, 0.0), (-170.0, 0.0), (-10.0, 5.0), (60.0, 5.0)]))
