@@ -285,12 +285,18 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     seed: int = 42,
     min_jaccard: float = 0.5,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b, est_jaccard =
     fraction of matching signature positions, filtered to
     >= min_jaccard, deduped across bands, ordered.
+
+    ``checkpoint=False`` returns the un-materialized plan (for
+    `.explain` auditing or callers composing it further); the
+    signature cache then stays persisted until the session drops it —
+    the default eagerly materializes and releases it.
     """
     rows_per_band = num_hashes // bands
     # signature hashing is the CPU-heavy stage: spread it across the
@@ -332,17 +338,19 @@ def minhash_lsh_pairs(
     est = F.expr(
         "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
     ) / F.lit(float(num_hashes))
-    # eager localCheckpoint materializes the pairs (so the signature
-    # cache can be released NOW) without pinning executor cache: its
-    # blocks are reference-counted and freed when the caller drops the
-    # frame, unlike a returned .persist() no caller ever unpersists
     out = (
         cand.withColumn("est_jaccard", est)
         .where(F.col("est_jaccard") >= min_jaccard)
         .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
         .orderBy("id_a", "id_b")
-        .localCheckpoint(eager=True)
     )
+    if not checkpoint:
+        return out
+    # eager localCheckpoint materializes the pairs (so the signature
+    # cache can be released NOW) without pinning executor cache: its
+    # blocks are reference-counted and freed when the caller drops the
+    # frame, unlike a returned .persist() no caller ever unpersists
+    out = out.localCheckpoint(eager=True)
     sigs.unpersist()  # no cache growth across repeated calls
     return out
 

@@ -250,11 +250,19 @@ def build_pipeline(
         args: dict[str, Any] = dict(st.get("args") or {})
         inp = st.get("input")
 
-        def fn(sp, _op=_OPS[st["op"]], _args=args, _inp=inp):
+        def fn(sp, _op=_OPS[st["op"]], _args=args, _inp=inp, _st=st):
             if _inp is not None:
                 _args = dict(_args)
                 _args["__input__"] = pipe.output(_inp)
-            return _op(sp, pipe, _args)
+            try:
+                return _op(sp, pipe, _args)
+            except KeyError as e:
+                # a missing required arg surfaces as a config error
+                # naming the stage, not a bare KeyError from deep inside
+                raise ValueError(
+                    f"stage {_st['name']!r} (op {_st['op']!r}) is missing "
+                    f"required arg {e}"
+                ) from e
 
         pipe.stage(st["name"], fn)
     return pipe

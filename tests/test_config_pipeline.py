@@ -71,3 +71,14 @@ def test_yaml_file_runner(spark, tmp_path):
     path.write_text(PIPE_YAML)
     pipe = cfg.run_config(spark, str(path), root=str(tmp_path / "out"))
     assert pipe.output("assign").count() == 872
+
+
+def test_missing_required_arg_names_the_stage(spark, tmp_path):
+    from gelos_spark.plans import config as cfg
+
+    conf = {
+        "run_id": "bad",
+        "stages": [{"name": "imgs", "op": "synth_multisensor", "args": {}}],
+    }
+    with pytest.raises(ValueError, match="stage 'imgs'.*missing required arg"):
+        cfg.build_pipeline(spark, conf, root=str(tmp_path / "bad"))
