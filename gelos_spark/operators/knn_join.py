@@ -104,6 +104,7 @@ def knn_join(
     res: int | None = None,
     n_tiles_hint: int | None = None,
     max_rounds: int = 3,
+    brute_force_pairs: int = 2_000_000,
 ) -> DataFrame:
     """k nearest tiles per query point.
 
@@ -111,6 +112,16 @@ def knn_join(
     a Spark or pandas DataFrame (the query side is driver-resident).
     Returns (query_id, rank, image_id, dist_km), ordered by
     (query_id, rank).
+
+    Cost-based path selection: when tiles x queries <=
+    ``brute_force_pairs`` one exact brute-force pass is cheaper than
+    ring expansion (each ring round costs a full distributed action;
+    measured crossover on local[32] is ~2-10M pairs — above it the
+    brute pass's per-query window shuffle dominates and ring pruning
+    wins), so the rounds are skipped and every query takes the brute
+    pass. Ring expansion is the 10^12-tile design; results are
+    identical either way (both exact, ties broken by id). Set
+    ``brute_force_pairs=0`` to force the ring path.
     """
     if res is None:
         n_hint = n_tiles_hint if n_tiles_hint is not None else tiles.count()
@@ -141,6 +152,11 @@ def knn_join(
         .collect()[0]
         .asDict()
     )
+
+    if stats["n"] * len(q) <= brute_force_pairs:
+        # small input: zero ring rounds -> every query falls through to
+        # the exact brute-force straggler pass below
+        max_rounds = 0
 
     w = Window.partitionBy("query_id").orderBy(F.col("dist_km").asc(), F.col("image_id").asc())
     topk: DataFrame | None = None  # accumulated per-query top-k so far

@@ -24,16 +24,36 @@ def _brute_knn(tracker: pd.DataFrame, queries: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "image_id", "dist_km"])
 
 
-@pytest.mark.parametrize("n,q,k,seed", [(400, 16, 5, 42), (2000, 40, 10, 11)])
-def test_knn_exact_vs_bruteforce(spark, n, q, k, seed):
+@pytest.mark.parametrize(
+    "n,q,k,seed,bf_pairs",
+    [
+        # bf_pairs=0 forces the ring-expansion path (the 10^12-tile
+        # design); the default exercises the cost-based brute path
+        (400, 16, 5, 42, 0),
+        (2000, 40, 10, 11, 0),
+        (2000, 40, 10, 11, 50_000_000),
+    ],
+)
+def test_knn_exact_vs_bruteforce(spark, n, q, k, seed, bf_pairs):
     tracker = synth.tracker_df(spark, n, seed=seed)
     queries = synth.query_df(spark, q, n, seed=seed, k=k)
-    got = knn_join(spark, tracker, queries, n_tiles_hint=n).toPandas()
+    got = knn_join(
+        spark, tracker, queries, n_tiles_hint=n, brute_force_pairs=bf_pairs
+    ).toPandas()
     exp = _brute_knn(tracker.toPandas(), queries.toPandas())
     assert got[["query_id", "rank", "image_id"]].values.tolist() == exp[
         ["query_id", "rank", "image_id"]
     ].values.tolist()
     np.testing.assert_allclose(got["dist_km"].to_numpy(), exp["dist_km"].to_numpy(), rtol=1e-12)
+
+
+def test_knn_path_selection_identical(spark):
+    """The optimizer's two physical strategies return identical rows."""
+    tracker = synth.tracker_df(spark, 1500, seed=5)
+    queries = synth.query_df(spark, 24, 1500, seed=5, k=7)
+    ring = knn_join(spark, tracker, queries, n_tiles_hint=1500, brute_force_pairs=0)
+    brute = knn_join(spark, tracker, queries, n_tiles_hint=1500)
+    pd.testing.assert_frame_equal(ring.toPandas(), brute.toPandas())
 
 
 def test_knn_k_exceeds_population(spark):
