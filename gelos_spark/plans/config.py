@@ -196,6 +196,33 @@ def _op_pca_project(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFram
     )
 
 
+@op("plot_scatter")
+def _op_plot_scatter(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
+    """S8 figure sink as a pipeline stage (the reference's
+    transformation CLI ends in category-colored scatters,
+    gelos/plotting.py:48-58): render the upstream coordinate frame
+    through the engine's own PNG writer, commit a 1-row metadata
+    frame (path, points, bytes) so the figure rides the lineage."""
+    import os
+
+    from gelos_spark.operators.plotting import scatter_png
+
+    pdf = conf["__input__"].toPandas()
+    meta = scatter_png(
+        pdf,
+        conf["x_col"],
+        conf["y_col"],
+        conf["cat_col"],
+        conf["path"],
+        size=int(conf.get("size", 900)),
+        point=int(conf.get("point", 3)),
+    )
+    return spark.createDataFrame(
+        [(meta["path"], int(meta["n_points"]), int(os.path.getsize(meta["path"])))],
+        "path string, n_points long, bytes long",
+    )
+
+
 @op("tsne")
 def _op_tsne(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
     from gelos_spark.operators import projection as prj

@@ -82,3 +82,31 @@ def test_missing_required_arg_names_the_stage(spark, tmp_path):
     }
     with pytest.raises(ValueError, match="stage 'imgs'.*missing required arg"):
         cfg.build_pipeline(spark, conf, root=str(tmp_path / "bad"))
+
+
+def test_plot_scatter_stage(spark, tmp_path):
+    """The transformation CLI's terminal plot as a config stage: the
+    figure is rendered by the engine's PNG writer and its metadata row
+    rides the lineage."""
+    png = str(tmp_path / "fig" / "scatter.png")
+    import os
+
+    os.makedirs(os.path.dirname(png), exist_ok=True)
+    conf = {
+        "run_id": "plot",
+        "stages": [
+            {"name": "tiles", "op": "synth_tracker", "args": {"n": 300, "seed": 4}},
+            {
+                "name": "fig",
+                "op": "plot_scatter",
+                "input": "tiles",
+                "args": {"x_col": "lon", "y_col": "lat", "cat_col": "lulc", "path": png},
+            },
+        ],
+    }
+    pipe = cfg.build_pipeline(spark, conf, root=str(tmp_path / "run"))
+    assert os.path.getsize(png) > 100
+    row = pipe.output("fig").collect()[0]
+    assert row.n_points == 300 and row.bytes == os.path.getsize(png)
+    done = pipe.log.lineage("plot").where("status = 'done'").count()
+    assert done == 2
