@@ -324,24 +324,26 @@ def minhash_lsh_pairs(
 
     left = banded.alias("l")
     right = banded.alias("r")
-    cand = (
+    # est_jaccard is computed map-side, BEFORE the pair dedup: a pair
+    # colliding in several bands recomputes the (identical) estimate
+    # up to `bands` times, but the dedup shuffle then carries 3
+    # scalars per candidate instead of two num_hashes-int64 signature
+    # arrays — at corpus scale the shuffle is the bottleneck, not the
+    # zip_with. Sub-threshold candidates are filtered before the
+    # shuffle for the same reason.
+    est = F.expr(
+        "aggregate(zip_with(l.sig, r.sig, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
+    ) / F.lit(float(num_hashes))
+    out = (
         left.join(right, (F.col("l.band") == F.col("r.band")) & (F.col("l.bh") == F.col("r.bh")))
         .where(F.col("l.id") < F.col("r.id"))
         .select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
-            F.col("l.sig").alias("sig_a"),
-            F.col("r.sig").alias("sig_b"),
+            F.round(est, 6).alias("est_jaccard"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    est = F.expr(
-        "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
-    ) / F.lit(float(num_hashes))
-    out = (
-        cand.withColumn("est_jaccard", est)
         .where(F.col("est_jaccard") >= min_jaccard)
-        .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+        .dropDuplicates(["id_a", "id_b"])
         .orderBy("id_a", "id_b")
     )
     if not checkpoint:

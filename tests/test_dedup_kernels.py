@@ -54,3 +54,41 @@ def test_simhash_batch_random_docs():
     got = dedup.simhash_batch(docs, seed=42)
     for i, t in enumerate(docs):
         assert got[i] == dedup.simhash64(t, 42)
+
+
+def test_minhash_lsh_pairs_matches_bruteforce_lsh(spark):
+    """The distributed banded join equals a driver-side brute-force
+    LSH: pairs whose signatures collide in >= 1 band, with
+    est_jaccard = matching-position fraction, filtered and deduped."""
+    texts = [
+        ("d%03d" % i, ("the quick brown fox %d " % (i % 7)) * 6 + "tail %d" % (i % 3))
+        for i in range(80)
+    ]
+    docs = spark.createDataFrame(texts, "doc_id string, text string")
+    num_hashes, bands, k, seed, min_j = 32, 8, 5, 42, 0.2
+    got = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in dedup.minhash_lsh_pairs(
+            docs, num_hashes=num_hashes, bands=bands, shingle_k=k,
+            seed=seed, min_jaccard=min_j,
+        ).collect()
+    }
+
+    sigs = {d: dedup.minhash_signature(t, num_hashes, k, seed) for d, t in texts}
+    rpb = num_hashes // bands
+    exp = {}
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            sa, sb = sigs[a], sigs[b]
+            collide = any(
+                (sa[j * rpb:(j + 1) * rpb] == sb[j * rpb:(j + 1) * rpb]).all()
+                for j in range(bands)
+            )
+            if not collide:
+                continue
+            est = float((sa == sb).sum()) / num_hashes
+            if est >= min_j:
+                exp[(a, b)] = round(est, 6)
+    assert got == exp
+    assert len(exp) > 0  # the fixture must actually produce near-dups
