@@ -152,3 +152,50 @@ def perturb_bands(
                 yield pa.RecordBatch.from_pandas(pd.DataFrame(rows), preserve_index=False)
 
     return images.mapInArrow(fn, IMAGES_OUT_SCHEMA)
+
+
+def area_resize(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Area (mean-pool) resize of an [H, W, C] uint8 image by index
+    binning — no scipy/PIL. Each output pixel averages the source
+    pixels whose bin maps to it (float64 accumulate, round-half-up),
+    the same arithmetic as the pyramid's 2x2 downsample so a 2:1
+    area_resize equals pyramid.downsample2x2 exactly."""
+    h, w, _ = px.shape
+    ybin = (np.arange(h) * out_h) // h
+    xbin = (np.arange(w) * out_w) // w
+    acc = np.zeros((out_h, out_w, px.shape[2]), dtype=np.float64)
+    cnt = np.zeros((out_h, out_w, 1), dtype=np.float64)
+    np.add.at(acc, (ybin[:, None], xbin[None, :]), px.astype(np.float64))
+    np.add.at(cnt, (ybin[:, None], xbin[None, :]), 1.0)
+    return np.floor(acc / cnt + 0.5).astype(np.uint8)
+
+
+def resize(images: DataFrame, out_w: int, out_h: int, fmt: str = "raw") -> DataFrame:
+    """Multimodal resize operator (training-data pipeline family):
+    decode -> area mean-pool to (out_h, out_w) -> re-encode. All pixel
+    math inside the Arrow batch; output keeps the images schema with
+    updated dims and recomputed phash. Deterministic at any
+    partitioning (pure per-row function)."""
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError("resize dims must be positive")
+
+    def fn(batches):
+        for b in batches:
+            rows = []
+            for row, px in _iter_decoded(b):
+                out = area_resize(px, out_h, out_w)
+                rows.append(
+                    {
+                        "image_id": row.image_id,
+                        "bytes": codec.encode(out, fmt),
+                        "w": np.int32(out_w),
+                        "h": np.int32(out_h),
+                        "fmt": fmt,
+                        "caption": row.caption,
+                        "phash": np.int64(codec.phash64(out)),
+                    }
+                )
+            if rows:
+                yield pa.RecordBatch.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+    return images.mapInArrow(fn, IMAGES_OUT_SCHEMA)

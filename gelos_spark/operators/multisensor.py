@@ -272,3 +272,27 @@ def multisensor_df(
             yield pa.RecordBatch.from_pandas(pd.DataFrame(rows), preserve_index=False)
 
     return base.mapInArrow(gen, schema)
+
+
+def frame_sample_col(frames: "F.Column | str", stride: int, offset: int = 0) -> F.Column:
+    """Temporal frame sampling over a ``{sensor}_frames`` array column:
+    keep frames at positions offset, offset+stride, ... — a pure JVM
+    array filter (zero Python, stays in whole-stage codegen). The
+    multimodal 'frame-sample' operator of the training-data pipeline
+    family; compose with ``stack_sensors`` downstream (its T dimension
+    follows the sampled length)."""
+    if stride <= 0:
+        raise ValueError("stride must be positive")
+    if offset < 0:
+        raise ValueError("offset must be >= 0")
+    col = F.col(frames) if isinstance(frames, str) else frames
+    return F.filter(
+        col, lambda _x, i: (i >= F.lit(offset)) & ((i - F.lit(offset)) % F.lit(stride) == 0)
+    )
+
+
+def frame_sample(df: DataFrame, sensors: list[str], stride: int, offset: int = 0) -> DataFrame:
+    """Apply ``frame_sample_col`` to every ``{sensor}_frames`` column."""
+    for s in sensors:
+        df = df.withColumn(f"{s}_frames", frame_sample_col(f"{s}_frames", stride, offset))
+    return df
