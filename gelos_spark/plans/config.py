@@ -196,6 +196,25 @@ def _op_pca_project(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFram
     )
 
 
+@op("resize")
+def _op_resize(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
+    from gelos_spark.operators import images as imops
+
+    return imops.resize(
+        conf["__input__"], int(conf["w"]), int(conf["h"]), fmt=conf.get("fmt", "raw")
+    )
+
+
+@op("frame_sample")
+def _op_frame_sample(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
+    from gelos_spark.operators import multisensor as ms
+
+    return ms.frame_sample(
+        conf["__input__"], list(conf["sensors"]), int(conf["stride"]),
+        offset=int(conf.get("offset", 0)),
+    )
+
+
 @op("plot_scatter")
 def _op_plot_scatter(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
     """S8 figure sink as a pipeline stage (the reference's

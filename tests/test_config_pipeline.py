@@ -110,3 +110,28 @@ def test_plot_scatter_stage(spark, tmp_path):
     assert row.n_points == 300 and row.bytes == os.path.getsize(png)
     done = pipe.log.lineage("plot").where("status = 'done'").count()
     assert done == 2
+
+
+def test_resize_and_frame_sample_ops(spark, tmp_path):
+    conf = {
+        "run_id": "mm",
+        "stages": [
+            {"name": "imgs", "op": "synth_images", "args": {"n": 16, "w": 16, "seed": 2}},
+            {"name": "small", "op": "resize", "input": "imgs", "args": {"w": 8, "h": 8}},
+            {
+                "name": "frames",
+                "op": "synth_multisensor",
+                "args": {"n": 8, "sensors": {"s1": ["VV", "VH"]}, "t_steps": 6, "w": 8},
+            },
+            {
+                "name": "sampled",
+                "op": "frame_sample",
+                "input": "frames",
+                "args": {"sensors": ["s1"], "stride": 2},
+            },
+        ],
+    }
+    pipe = cfg.build_pipeline(spark, conf, root=str(tmp_path / "mm"))
+    small = pipe.output("small").collect()
+    assert all(r.w == 8 and r.h == 8 for r in small) and len(small) == 16
+    assert all(len(r.s1_frames) == 3 for r in pipe.output("sampled").collect())
