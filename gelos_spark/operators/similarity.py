@@ -249,13 +249,25 @@ def ivf_topk(
     nprobe: int = 4,
     qid_col: str = "query_id",
     qvec_col: str = "embedding",
+    collect_queries: bool = True,
 ) -> DataFrame:
     """IVF probe: each query scans only its nprobe nearest inverted
-    lists (driver NumPy picks the lists from the tiny centroid matrix),
-    exact cosine re-rank inside them. Output schema matches
+    lists, exact cosine re-rank inside them. Output schema matches
     brute_force_topk; recall grows with nprobe (nprobe = n_centroids
-    degenerates to exact search)."""
+    degenerates to exact search).
+
+    ``collect_queries=True`` (the retrieval-API default) picks the
+    probe lists in driver NumPy — right for request-sized query sets.
+    ``collect_queries=False`` keeps the query table distributed: the
+    tiny centroid matrix broadcasts into a vectorized pandas UDF that
+    emits each query's nprobe list ids, then the same bucketed join
+    runs — use this when the "queries" are themselves a corpus (e.g.
+    full-table ANN self-search). Identical results either way."""
     nprobe = min(nprobe, len(centroids))
+    if not collect_queries:
+        return _ivf_topk_distributed(
+            spark, index, centroids, queries, k, nprobe, qid_col, qvec_col
+        )
     qpdf = queries.select(
         F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("qv")
     ).toPandas()
@@ -287,6 +299,55 @@ def ivf_topk(
     )
     qdf = spark.createDataFrame(probes, schema).withColumn("qn", _norm_expr("qv"))
     cand = index.join(F.broadcast(qdf), "cid").select(
+        "query_id",
+        "vec_id",
+        (_dot_expr("cv", "qv") / (F.col("cn") * F.col("qn"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def _ivf_topk_distributed(
+    spark: SparkSession,
+    index: DataFrame,
+    centroids: np.ndarray,
+    queries: DataFrame,
+    k: int,
+    nprobe: int,
+    qid_col: str,
+    qvec_col: str,
+) -> DataFrame:
+    """Distributed IVF probe: the normalized centroid matrix (tiny)
+    broadcasts into a vectorized pandas UDF that assigns each query
+    row its nprobe nearest list ids; the probe table then equi-joins
+    the inverted index on cid (a shuffle keyed by list id — the
+    bucketed join, no broadcast of the query side, which may be
+    corpus-sized here). Same math, same ordering, identical rows to
+    the driver-side path."""
+    cn_mat = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    bc = spark.sparkContext.broadcast(cn_mat)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _probes(qv: pd.Series) -> pd.Series:
+        c = bc.value
+        qm = np.stack([np.asarray(v, dtype=np.float64) for v in qv])
+        qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(qn @ c.T), axis=1)[:, : min(nprobe, c.shape[0])]
+        return pd.Series([row.astype(np.int32).tolist() for row in order])
+
+    qdf = (
+        queries.select(F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("qv"))
+        .withColumn("cid", F.explode(_probes(F.col("qv"))))
+        .withColumn("qn", _norm_expr("qv"))
+    )
+    cand = index.join(qdf, "cid").select(
         "query_id",
         "vec_id",
         (_dot_expr("cv", "qv") / (F.col("cn") * F.col("qn"))).alias("cosine"),

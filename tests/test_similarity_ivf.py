@@ -47,3 +47,18 @@ def test_ivf_recall_and_exact_degeneration(spark, emb):
     a = [(x.query_id, x.rank, x.vec_id) for x in full.collect()]
     b = [(x.query_id, x.rank, x.vec_id) for x in exact.collect()]
     assert a == b
+
+
+def test_ivf_distributed_probe_identical_to_driver_path(spark):
+    """collect_queries=False (distributed probe assignment) returns
+    exactly the rows of the driver-side path, full and partial probe."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = sim.ivf_train(emb, n_centroids=8, iters=2, seed=7)
+    index = sim.ivf_index(emb, cents)
+    q = emb.where("vec_id < 12").selectExpr("vec_id AS query_id", "embedding")
+    for nprobe in (8, 2):
+        a = sim.ivf_topk(spark, index, cents, q, k=10, nprobe=nprobe)
+        b = sim.ivf_topk(
+            spark, index, cents, q, k=10, nprobe=nprobe, collect_queries=False
+        )
+        assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
