@@ -92,3 +92,30 @@ def test_minhash_lsh_pairs_matches_bruteforce_lsh(spark):
                 exp[(a, b)] = round(est, 6)
     assert got == exp
     assert len(exp) > 0  # the fixture must actually produce near-dups
+
+
+def test_simhash_pairs_matches_bruteforce(spark):
+    """The pigeonhole-banded distributed join equals the driver-side
+    brute force: every pair with Hamming(simhash) <= max_hamming, and
+    ONLY those (the band trick guarantees recall; the bit_count verify
+    guarantees precision)."""
+    texts = [
+        ("s%03d" % i, ("alpha beta gamma %d " % (i % 5)) * 4 + "delta %d" % (i % 2))
+        for i in range(90)
+    ]
+    docs = spark.createDataFrame(texts, "doc_id string, text string")
+    max_h, seed = 6, 42
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_pairs(docs, max_hamming=max_h, seed=seed).collect()
+    }
+    sh = {d: dedup.simhash64(t, seed) for d, t in texts}
+    ids = sorted(sh)
+    exp = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1")
+            if h <= max_h:
+                exp[(a, b)] = h
+    assert got == exp
+    assert len(exp) > 0
