@@ -260,16 +260,41 @@ def _cover_grid(
     return cells, (lon0, lat0, lon0 + w, lat0 + h)
 
 
-def polygon_cover(ring: np.ndarray, res: int, prune: bool = True) -> np.ndarray:
+def unwrap_rings(
+    ring: np.ndarray, holes: list | None
+) -> tuple[np.ndarray, list[np.ndarray], bool]:
+    """Frame-consistent unwrap for a polygon with holes: the outer
+    ring decides whether the polygon crosses the antimeridian; when it
+    does, EVERY ring (holes included) gets the same lon<0 -> +360
+    shift — a hole sitting entirely on one side of +-180 never
+    triggers the per-ring jump detection on its own, so it must
+    inherit the outer's frame."""
+    outer, wrapped = unwrap_ring(np.asarray(ring, dtype=np.float64))
+    hs = [np.asarray(h, dtype=np.float64) for h in (holes or [])]
+    if wrapped:
+        shifted = []
+        for h in hs:
+            h = h.copy()
+            h[:, 0] = np.where(h[:, 0] < 0.0, h[:, 0] + 360.0, h[:, 0])
+            shifted.append(h)
+        hs = shifted
+    return outer, hs, wrapped
+
+
+def polygon_cover(
+    ring: np.ndarray, res: int, prune: bool = True, holes: list | None = None
+) -> np.ndarray:
     """Cells at res ``res`` whose rectangle may intersect the polygon
     (SURVEY.md §2.6 G6). Starts from the bbox cover; when ``prune`` is
     set, drops cells that provably do not touch the polygon."""
-    cells, _ = polygon_cover_classified(np.asarray(ring, dtype=np.float64), res, prune=prune)
+    cells, _ = polygon_cover_classified(
+        np.asarray(ring, dtype=np.float64), res, prune=prune, holes=holes
+    )
     return cells
 
 
 def polygon_cover_classified(
-    ring: np.ndarray, res: int, prune: bool = True
+    ring: np.ndarray, res: int, prune: bool = True, holes: list | None = None
 ) -> tuple[np.ndarray, np.ndarray]:
     """Polygon cover with an INTERIOR flag per cell (SURVEY.md §2.6 G6).
 
@@ -279,33 +304,44 @@ def polygon_cover_classified(
     the PIP join can skip ray-cast refinement for its tiles (the bulk
     of any large AOI's area). Cells kept but not interior are boundary
     cells (no polygon vertex inside, no corner inside, no overlapping
-    edge -> dropped entirely)."""
-    from gelos_spark.functions.geometry import points_in_polygon
+    edge -> dropped entirely).
+
+    ``holes``: optional inner rings. Containment is multi-ring
+    even-odd parity, and vertex/edge tests run over every ring — so a
+    cell strictly inside a hole is dropped, a cell straddling a hole
+    edge stays boundary, and interior cells are provably inside the
+    polygon-with-holes."""
+    from gelos_spark.functions.geometry import points_in_rings
 
     # antimeridian-crossing rings unwrap into the continuous frame;
     # the cover grid wraps x back into real cell ids while the rect
     # bounds stay unwrapped, so every test below is frame-consistent
-    ring, _ = unwrap_ring(np.asarray(ring, dtype=np.float64))
+    outer, hs, _ = unwrap_rings(np.asarray(ring, dtype=np.float64), holes)
+    rings = [outer] + hs
     cells, (lon0, lat0, lon1, lat1) = _cover_grid(
-        ring[:, 0].min(), ring[:, 1].min(), ring[:, 0].max(), ring[:, 1].max(), res
+        outer[:, 0].min(), outer[:, 1].min(), outer[:, 0].max(), outer[:, 1].max(), res
     )
-    # (a) any polygon vertex inside the cell rect
-    vx, vy = ring[:, 0], ring[:, 1]
+    # (a) any ring vertex inside the cell rect
+    vx = np.concatenate([r[:, 0] for r in rings])
+    vy = np.concatenate([r[:, 1] for r in rings])
     has_vertex = (
         (vx[None, :] >= lon0[:, None])
         & (vx[None, :] < lon1[:, None])
         & (vy[None, :] >= lat0[:, None])
         & (vy[None, :] < lat1[:, None])
     ).any(axis=1)
-    # (b) cell corners inside the polygon
+    # (b) cell corners inside the polygon (multi-ring parity)
     corners_lon = np.stack([lon0, lon1, lon0, lon1], axis=1).ravel()
     corners_lat = np.stack([lat0, lat0, lat1, lat1], axis=1).ravel()
-    corner_in = points_in_polygon(corners_lon, corners_lat, ring).reshape(-1, 4)
+    corner_in = points_in_rings(corners_lon, corners_lat, rings).reshape(-1, 4)
     any_corner_in = corner_in.any(axis=1)
     all_corners_in = corner_in.all(axis=1)
-    # (c) any polygon edge's bbox overlapping the cell rect
-    ex0, ey0 = vx, vy
-    ex1, ey1 = np.roll(vx, -1), np.roll(vy, -1)
+    # (c) any ring edge's bbox overlapping the cell rect (each ring's
+    # edges close within that ring — no spurious outer->hole edge)
+    ex0 = np.concatenate([r[:, 0] for r in rings])
+    ey0 = np.concatenate([r[:, 1] for r in rings])
+    ex1 = np.concatenate([np.roll(r[:, 0], -1) for r in rings])
+    ey1 = np.concatenate([np.roll(r[:, 1], -1) for r in rings])
     emin_x, emax_x = np.minimum(ex0, ex1), np.maximum(ex0, ex1)
     emin_y, emax_y = np.minimum(ey0, ey1), np.maximum(ey0, ey1)
     overlap = (

@@ -45,6 +45,30 @@ def points_in_polygon(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.nd
     return (cross.sum(axis=1) % 2).astype(bool)
 
 
+def points_in_rings(px: np.ndarray, py: np.ndarray, rings: list) -> np.ndarray:
+    """Even-odd containment for a multi-ring polygon (outer ring +
+    holes): crossings are summed across ALL rings, odd total = inside.
+    Each ring is closed independently (no spurious edge between the
+    outer ring's last vertex and a hole's first). With a single ring
+    this equals ``points_in_polygon`` exactly."""
+    total = np.zeros(len(np.asarray(px)), dtype=np.int64)
+    for ring in rings:
+        ring = np.asarray(ring, dtype=np.float64)
+        if len(ring) >= 2 and ring[0, 0] == ring[-1, 0] and ring[0, 1] == ring[-1, 1]:
+            ring = ring[:-1]
+        x1, y1 = ring[:, 0], ring[:, 1]
+        x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+        pxa = np.asarray(px, dtype=np.float64)
+        pya = np.asarray(py, dtype=np.float64)
+        cond = (y1[None, :] > pya[:, None]) != (y2[None, :] > pya[:, None])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = (x2 - x1)[None, :] * (pya[:, None] - y1[None, :]) / (y2 - y1)[
+                None, :
+            ] + x1[None, :]
+        total += (cond & (pxa[:, None] < xint)).sum(axis=1)
+    return (total % 2).astype(bool)
+
+
 def points_in_polygon_chunked(
     px: np.ndarray, py: np.ndarray, ring: np.ndarray, chunk: int = 65536
 ) -> np.ndarray:

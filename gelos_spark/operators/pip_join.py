@@ -54,7 +54,7 @@ from pyspark.sql import types as T
 
 from gelos_spark.functions import cells
 from gelos_spark.functions.cell_udfs import cell_encode_col, cell_parent_col
-from gelos_spark.functions.geometry import points_in_polygon
+from gelos_spark.functions.geometry import points_in_rings
 
 TILE_RES = 16  # fine tile cell resolution (~600 m cells); prefix-shifts to any coarser res
 
@@ -90,7 +90,7 @@ def build_cover_df(spark: SparkSession, aois: list[dict], cover_res: int) -> Dat
     ids, cels, ints = [], [], []
     for p in aois:
         cover, interior = cells.polygon_cover_classified(
-            np.asarray(p["ring"], dtype=np.float64), cover_res
+            np.asarray(p["ring"], dtype=np.float64), cover_res, holes=p.get("holes")
         )
         ids.append(np.full(len(cover), p["aoi_id"], dtype=np.int64))
         cels.append(cover)
@@ -112,22 +112,37 @@ def build_edges_df(spark: SparkSession, aois: list[dict]) -> DataFrame:
     where (y1 > p) != (y2 > p) is always false for y1 == y2).
     Antimeridian-crossing rings store UNWRAPPED edge lons (+360 on the
     west side) with wrapped=true; candidates shift their lon the same
-    way before the crossing test."""
+    way before the crossing test. AOIs may carry ``holes`` (inner
+    rings): their edges join the table too — the parity count then
+    implements multi-ring even-odd containment with no other change."""
     rows = []
     for p in aois:
-        ring, wrapped = cells.unwrap_ring(np.asarray(p["ring"], dtype=np.float64))
-        if len(ring) >= 2 and ring[0, 0] == ring[-1, 0] and ring[0, 1] == ring[-1, 1]:
-            ring = ring[:-1]
-        v = len(ring)
-        for i in range(v):
-            x1, y1 = float(ring[i, 0]), float(ring[i, 1])
-            x2, y2 = float(ring[(i + 1) % v, 0]), float(ring[(i + 1) % v, 1])
-            if y1 != y2:
-                rows.append((int(p["aoi_id"]), x1, y1, x2, y2, wrapped))
+        for ring, wrapped in _aoi_rings(p):
+            v = len(ring)
+            for i in range(v):
+                x1, y1 = float(ring[i, 0]), float(ring[i, 1])
+                x2, y2 = float(ring[(i + 1) % v, 0]), float(ring[(i + 1) % v, 1])
+                if y1 != y2:
+                    rows.append((int(p["aoi_id"]), x1, y1, x2, y2, wrapped))
     return spark.createDataFrame(
         pd.DataFrame(rows, columns=["aoi_id", "x1", "y1", "x2", "y2", "wrapped"]),
         schema="aoi_id long, x1 double, y1 double, x2 double, y2 double, wrapped boolean",
     )
+
+
+def _dedup_close(ring: np.ndarray) -> np.ndarray:
+    if len(ring) >= 2 and ring[0, 0] == ring[-1, 0] and ring[0, 1] == ring[-1, 1]:
+        return ring[:-1]
+    return ring
+
+
+def _aoi_rings(p: dict) -> list[tuple[np.ndarray, bool]]:
+    """Every ring of an AOI (outer + holes), frame-consistently
+    unwrapped and de-closed, each tagged with the shared wrapped flag."""
+    outer, hs, wrapped = cells.unwrap_rings(
+        np.asarray(p["ring"], dtype=np.float64), p.get("holes")
+    )
+    return [(_dedup_close(r), wrapped) for r in [outer] + hs]
 
 
 def build_aoi_edges_df(spark: SparkSession, aois: list[dict]) -> DataFrame:
@@ -135,19 +150,19 @@ def build_aoi_edges_df(spark: SparkSession, aois: list[dict]) -> DataFrame:
     per AOI, edges as an array so the whole polygon rides inside the
     broadcast and the crossing count becomes a map-side array
     aggregate. Antimeridian rings carry unwrapped lons + wrapped=true
-    (see build_edges_df)."""
+    (see build_edges_df); hole edges ride the same array (multi-ring
+    even-odd parity)."""
     rows = []
     for p in aois:
-        ring, wrapped = cells.unwrap_ring(np.asarray(p["ring"], dtype=np.float64))
-        if len(ring) >= 2 and ring[0, 0] == ring[-1, 0] and ring[0, 1] == ring[-1, 1]:
-            ring = ring[:-1]
-        v = len(ring)
         es = []
-        for i in range(v):
-            x1, y1 = float(ring[i, 0]), float(ring[i, 1])
-            x2, y2 = float(ring[(i + 1) % v, 0]), float(ring[(i + 1) % v, 1])
-            if y1 != y2:
-                es.append({"x1": x1, "y1": y1, "x2": x2, "y2": y2})
+        wrapped = False
+        for ring, wrapped in _aoi_rings(p):
+            v = len(ring)
+            for i in range(v):
+                x1, y1 = float(ring[i, 0]), float(ring[i, 1])
+                x2, y2 = float(ring[(i + 1) % v, 0]), float(ring[(i + 1) % v, 1])
+                if y1 != y2:
+                    es.append({"x1": x1, "y1": y1, "x2": x2, "y2": y2})
         rows.append((int(p["aoi_id"]), es, wrapped))
     return spark.createDataFrame(
         rows,
@@ -208,10 +223,10 @@ def contains_udf(spark: SparkSession, aois: list[dict]):
     """pandas_udf (aoi_id, lon, lat) -> bool, exact ray-cast PIP.
     Rings ship once per executor via a Spark broadcast variable;
     the kernel vectorizes over each distinct aoi in the batch."""
-    rings = {
-        int(p["aoi_id"]): cells.unwrap_ring(np.asarray(p["ring"], dtype=np.float64))
-        for p in aois
-    }
+    rings = {}
+    for p in aois:
+        rs = _aoi_rings(p)
+        rings[int(p["aoi_id"])] = ([r for r, _ in rs], rs[0][1])
     bc = spark.sparkContext.broadcast(rings)
 
     @F.pandas_udf(T.BooleanType())
@@ -223,9 +238,9 @@ def contains_udf(spark: SparkSession, aois: list[dict]):
         out = np.zeros(len(ids), dtype=bool)
         for a in np.unique(ids):
             m = ids == a
-            ring, wrapped = r[int(a)]
+            ring_list, wrapped = r[int(a)]
             x = np.where(px[m] < 0.0, px[m] + 360.0, px[m]) if wrapped else px[m]
-            out[m] = points_in_polygon(x, py[m], ring)
+            out[m] = points_in_rings(x, py[m], ring_list)
         return pd.Series(out)
 
     return _contains

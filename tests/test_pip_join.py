@@ -162,3 +162,95 @@ def test_unwrap_ring_contract():
     assert w and r[:, 0].tolist() == [175.0, 185.0, 180.0]
     with pytest.raises(ValueError, match="180 deg"):
         unwrap_ring(np.asarray([(170.0, 0.0), (-170.0, 0.0), (-10.0, 5.0), (60.0, 5.0)]))
+
+
+# ------------------------------------------------ polygons with holes
+
+
+def _donut_aois():
+    return [
+        # square donut: outer 20x20, square hole 8x8 in the middle
+        {"aoi_id": 0, "name": "donut",
+         "ring": [(-10.0, -10.0), (10.0, -10.0), (10.0, 10.0), (-10.0, 10.0)],
+         "holes": [[(-4.0, -4.0), (4.0, -4.0), (4.0, 4.0), (-4.0, 4.0)]]},
+        # plain AOI alongside, to prove mixing works
+        {"aoi_id": 1, "name": "plain",
+         "ring": [(20.0, -5.0), (34.0, -5.0), (34.0, 9.0), (20.0, 9.0)]},
+    ]
+
+
+def _brute_pip_rings(pdf: pd.DataFrame, aois: list[dict]) -> set[tuple[int, str]]:
+    from gelos_spark.functions.cells import unwrap_rings
+    from gelos_spark.functions.geometry import points_in_rings
+
+    out = set()
+    lon = pdf["lon"].to_numpy()
+    lat = pdf["lat"].to_numpy()
+    ids = pdf["image_id"].to_numpy()
+    for p in aois:
+        outer, hs, wrapped = unwrap_rings(
+            np.asarray(p["ring"], dtype=np.float64), p.get("holes")
+        )
+        x = np.where(lon < 0.0, lon + 360.0, lon) if wrapped else lon
+        inside = points_in_rings(x, lat, [outer] + hs)
+        for i in np.nonzero(inside)[0]:
+            out.add((p["aoi_id"], ids[i]))
+    return out
+
+
+@pytest.mark.parametrize("refine", ["expr", "sql", "udf"])
+def test_pip_join_with_holes(spark, refine):
+    aois = _donut_aois()
+    rng = np.random.default_rng(21)
+    pdf = pd.DataFrame(
+        {
+            "image_id": [f"h{i:05d}" for i in range(3000)],
+            "lon": rng.uniform(-15.0, 40.0, 3000),
+            "lat": rng.uniform(-15.0, 15.0, 3000),
+        }
+    )
+    got = pip_join(spark, spark.createDataFrame(pdf), aois, refine=refine).toPandas()
+    exp = _brute_pip_rings(pdf, aois)
+    assert set(zip(got["aoi_id"].tolist(), got["image_id"].tolist())) == exp
+    # points strictly inside the hole are excluded
+    in_hole = pdf[(pdf.lon.abs() < 4) & (pdf.lat.abs() < 4)]["image_id"]
+    assert not any((0, i) in exp for i in in_hole)
+    assert len(in_hole) > 0
+    # the donut ring itself has hits
+    assert any(a == 0 for a, _ in exp)
+
+
+def test_pip_join_antimeridian_donut(spark):
+    """Hole inheritance of the outer ring's unwrap frame: a donut
+    straddling +-180 whose hole sits entirely on the west side."""
+    aois = [
+        {"aoi_id": 0, "name": "am_donut",
+         "ring": [(172.0, -8.0), (-172.0, -8.0), (-172.0, 8.0), (172.0, 8.0)],
+         "holes": [[(-178.0, -3.0), (-174.0, -3.0), (-174.0, 3.0), (-178.0, 3.0)]]},
+    ]
+    rng = np.random.default_rng(9)
+    pdf = pd.DataFrame(
+        {
+            "image_id": [f"ad{i:05d}" for i in range(2500)],
+            "lon": ((rng.uniform(165.0, 195.0, 2500) + 180.0) % 360.0) - 180.0,
+            "lat": rng.uniform(-12.0, 12.0, 2500),
+        }
+    )
+    got = pip_join(spark, spark.createDataFrame(pdf), aois).toPandas()
+    exp = _brute_pip_rings(pdf, aois)
+    assert set(zip(got["aoi_id"].tolist(), got["image_id"].tolist())) == exp
+    # hole exclusion really engaged (points in the hole exist)
+    in_hole = pdf[(pdf.lon > -178) & (pdf.lon < -174) & (pdf.lat.abs() < 3)]
+    assert len(in_hole) > 0
+    assert not any((0, i) in exp for i in in_hole["image_id"])
+    # hits on both sides of the antimeridian
+    assert (got["lon"] > 170).any() and (got["lon"] < -170).any()
+
+
+def test_points_in_rings_single_ring_equals_polygon():
+    from gelos_spark.functions.geometry import points_in_polygon, points_in_rings
+
+    ring = np.asarray([(-5.0, -5.0), (5.0, -5.0), (0.0, 6.0)])
+    rng = np.random.default_rng(3)
+    px, py = rng.uniform(-8, 8, 500), rng.uniform(-8, 8, 500)
+    assert (points_in_rings(px, py, [ring]) == points_in_polygon(px, py, ring)).all()
