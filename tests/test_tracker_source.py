@@ -57,3 +57,90 @@ def test_geojson_dispatch_flattens_geometry(spark, tmp_path):
 def test_unknown_suffix_raises(spark):
     with pytest.raises(ValueError, match="unsupported tracker format"):
         read_tracker(spark, "/nope/tracker.parquet")
+
+
+def test_read_aoi_geojson_polygon_with_hole(spark, tmp_path):
+    """GeoJSON Polygon (RFC 7946: first ring outer, rest holes) +
+    MultiPolygon load into the AOI shape pip_join consumes, and the
+    join over them matches the brute-force multi-ring oracle."""
+    import json
+
+    import numpy as np
+    import pandas as pd
+
+    from gelos_spark.functions.geometry import points_in_rings
+    from gelos_spark.operators.pip_join import pip_join
+    from gelos_spark.sources.aoi import read_aoi_geojson
+
+    doc = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "properties": {"name": "donut"},
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [
+                        [[-10, -10], [10, -10], [10, 10], [-10, 10], [-10, -10]],
+                        [[-4, -4], [4, -4], [4, 4], [-4, 4], [-4, -4]],
+                    ],
+                },
+            },
+            {
+                "type": "Feature",
+                "properties": {"name": "pair"},
+                "geometry": {
+                    "type": "MultiPolygon",
+                    "coordinates": [
+                        [[[20, 0], [30, 0], [30, 8], [20, 8], [20, 0]]],
+                        [[[35, 0], [45, 0], [45, 8], [35, 8], [35, 0]]],
+                    ],
+                },
+            },
+        ],
+    }
+    p = tmp_path / "aois.geojson"
+    p.write_text(json.dumps(doc))
+    aois = read_aoi_geojson(str(p))
+    assert [a["aoi_id"] for a in aois] == [0, 1, 2]
+    assert aois[0]["name"] == "donut" and "holes" in aois[0]
+    assert aois[1]["name"] == "pair/0" and aois[2]["name"] == "pair/1"
+
+    rng = np.random.default_rng(13)
+    pdf = pd.DataFrame(
+        {
+            "image_id": [f"g{i:05d}" for i in range(2000)],
+            "lon": rng.uniform(-15.0, 50.0, 2000),
+            "lat": rng.uniform(-15.0, 15.0, 2000),
+        }
+    )
+    got = pip_join(spark, spark.createDataFrame(pdf), aois).toPandas()
+    exp = set()
+    for a in aois:
+        rings = [np.asarray(a["ring"], dtype=np.float64)] + [
+            np.asarray(h, dtype=np.float64) for h in a.get("holes", [])
+        ]
+        inside = points_in_rings(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), rings)
+        exp |= {(a["aoi_id"], i) for i in pdf["image_id"].to_numpy()[inside]}
+    assert set(zip(got["aoi_id"].tolist(), got["image_id"].tolist())) == exp
+
+
+def test_read_aoi_geojson_validation(tmp_path):
+    import json
+
+    import pytest as _p
+
+    from gelos_spark.sources.aoi import read_aoi_geojson
+
+    bad = tmp_path / "bad.geojson"
+    bad.write_text(json.dumps({"type": "Feature"}))
+    with _p.raises(ValueError, match="FeatureCollection"):
+        read_aoi_geojson(str(bad))
+    pt = tmp_path / "pt.geojson"
+    pt.write_text(json.dumps({
+        "type": "FeatureCollection",
+        "features": [{"type": "Feature", "properties": {},
+                      "geometry": {"type": "Point", "coordinates": [0, 0]}}],
+    }))
+    with _p.raises(ValueError, match="unsupported geometry"):
+        read_aoi_geojson(str(pt))
