@@ -81,11 +81,17 @@ def _op_pip_join(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
     from gelos_spark.operators.pip_join import pip_join
     from gelos_spark.sources import synth
 
-    aois = synth.aoi_polygons(
-        int(conf.get("n_aois", 16)),
-        seed=int(conf.get("seed", 42)),
-        vertices=conf.get("aoi_vertices"),
-    )
+    if "aoi_geojson" in conf:
+        # real AOI inputs (Polygon/MultiPolygon incl. holes)
+        from gelos_spark.sources.aoi import read_aoi_geojson
+
+        aois = read_aoi_geojson(conf["aoi_geojson"], id_key=conf.get("aoi_id_key"))
+    else:
+        aois = synth.aoi_polygons(
+            int(conf.get("n_aois", 16)),
+            seed=int(conf.get("seed", 42)),
+            vertices=conf.get("aoi_vertices"),
+        )
     return pip_join(
         spark,
         conf["__input__"],

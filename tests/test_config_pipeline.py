@@ -135,3 +135,35 @@ def test_resize_and_frame_sample_ops(spark, tmp_path):
     small = pipe.output("small").collect()
     assert all(r.w == 8 and r.h == 8 for r in small) and len(small) == 16
     assert all(len(r.s1_frames) == 3 for r in pipe.output("sampled").collect())
+
+
+def test_pip_join_op_reads_geojson_aois(spark, tmp_path):
+    import json
+
+    doc = {
+        "type": "FeatureCollection",
+        "features": [{
+            "type": "Feature", "properties": {"name": "box"},
+            "geometry": {"type": "Polygon", "coordinates": [
+                [[-60, -50], [60, -50], [60, 50], [-60, 50], [-60, -50]],
+            ]},
+        }],
+    }
+    gj = tmp_path / "aois.geojson"
+    gj.write_text(json.dumps(doc))
+    conf = {
+        "run_id": "gj",
+        "stages": [
+            {"name": "tiles", "op": "synth_tracker", "args": {"n": 400, "seed": 42}},
+            {"name": "cells", "op": "cell_encode", "input": "tiles", "args": {"res": 16}},
+            {
+                "name": "assign",
+                "op": "pip_join",
+                "input": "cells",
+                "args": {"aoi_geojson": str(gj), "tile_cell_col": "cell"},
+            },
+        ],
+    }
+    pipe = cfg.build_pipeline(spark, conf, root=str(tmp_path / "gj"))
+    # the box covers the entire synthetic coordinate domain
+    assert pipe.output("assign").count() == 400
