@@ -1,0 +1,128 @@
+"""Property-based tests (hypothesis) over the pure NumPy kernels —
+no Spark session, so the whole file runs in seconds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gelos_spark.functions import cells
+from gelos_spark.functions.geometry import points_in_polygon, points_in_rings
+from gelos_spark.operators import masking
+
+lon_st = st.floats(min_value=-180.0, max_value=179.999999, allow_nan=False)
+lat_st = st.floats(min_value=-90.0, max_value=89.999999, allow_nan=False)
+res_st = st.integers(min_value=1, max_value=cells.MAX_RES)
+
+
+@given(lon=lon_st, lat=lat_st, res=res_st)
+@settings(max_examples=200, deadline=None)
+def test_cell_encode_bounds_roundtrip(lon, lat, res):
+    """Every cell id is non-negative, fits in 2*res bits, and the
+    cell's rect actually contains the encoded point."""
+    c = cells.cell_encode(np.array([lon]), np.array([lat]), res)[0]
+    assert 0 <= c < (1 << (2 * res))
+    lon0, lat0, lon1, lat1 = cells.cell_bounds(np.array([c]), res)
+    # epsilon for float quantization at bin edges: (x + 180.0) absorbs
+    # sub-ulp offsets near bin boundaries; the encode stays globally
+    # CONSISTENT (same double -> same cell in Spark/DuckDB/NumPy),
+    # which is the property the engine needs — containment holds to
+    # within one representability ulp of the boundary
+    eps = 1e-9 * max(1.0, abs(lon), abs(lat))
+    assert lon0[0] - eps <= lon <= lon1[0] + eps
+    assert lat0[0] - eps <= lat <= lat1[0] + eps
+
+
+@given(lon=lon_st, lat=lat_st, res=st.integers(min_value=2, max_value=cells.MAX_RES))
+@settings(max_examples=200, deadline=None)
+def test_parent_is_prefix(lon, lat, res):
+    """Encoding at a coarser res equals the prefix-shift of the finer
+    cell — the property every cover/rollup join key relies on."""
+    fine = cells.cell_encode(np.array([lon]), np.array([lat]), res)
+    for pr in range(res - 1, max(res - 4, 0) - 1, -1):
+        coarse = cells.cell_encode(np.array([lon]), np.array([lat]), pr)[0]
+        assert cells.cell_parent(fine, res, pr)[0] == coarse
+
+
+@given(
+    x=st.integers(min_value=0, max_value=(1 << 26) - 1),
+    y=st.integers(min_value=0, max_value=(1 << 26) - 1),
+)
+@settings(max_examples=200, deadline=None)
+def test_morton_xy_roundtrip(x, y):
+    c = cells.xy_to_cell(np.array([x]), np.array([y]))
+    rx, ry = cells.cell_to_xy(c)
+    assert (rx[0], ry[0]) == (x, y)
+
+
+@given(
+    px=st.lists(st.floats(min_value=-20, max_value=20, allow_nan=False), min_size=1, max_size=40),
+    py=st.lists(st.floats(min_value=-20, max_value=20, allow_nan=False), min_size=1, max_size=40),
+)
+@settings(max_examples=100, deadline=None)
+def test_hole_parity_is_xor(px, py):
+    """For a hole fully inside the outer ring, multi-ring containment
+    equals (in outer) XOR (in hole) — the even-odd law."""
+    n = min(len(px), len(py))
+    pxa, pya = np.asarray(px[:n]), np.asarray(py[:n])
+    outer = np.asarray([(-15.0, -15.0), (15.0, -15.0), (15.0, 15.0), (-15.0, 15.0)])
+    hole = np.asarray([(-5.0, -5.0), (5.0, -5.0), (5.0, 5.0), (-5.0, 5.0)])
+    combined = points_in_rings(pxa, pya, [outer, hole])
+    expect = points_in_polygon(pxa, pya, outer) ^ points_in_polygon(pxa, pya, hole)
+    assert (combined == expect).all()
+
+
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=16, unique=True),
+    length=st.integers(min_value=1, max_value=48),
+    data=st.data(),
+)
+@settings(max_examples=100, deadline=None)
+def test_mask_block_invariants(ids, length, data):
+    """The mask kernel's core block: kept set = prefix of the stable
+    argsort, mask complements it, restore inverts the shuffle — for
+    arbitrary ids, lengths and keep counts."""
+    k = data.draw(st.integers(min_value=0, max_value=length))
+    ids_arr = np.asarray(ids, dtype=np.int64)
+    noise = masking.noise_matrix(ids_arr, length)
+    order = np.argsort(noise, axis=1, kind="stable")
+    restore = np.argsort(order, axis=1, kind="stable")
+    keep = order[:, :k]
+    for r in range(len(ids_arr)):
+        # restore inverts order
+        assert (restore[r][order[r]] == np.arange(length)).all()
+        # kept positions are exactly the k smallest noise values
+        # (ties broken by position, which stable argsort guarantees)
+        kept_noise = noise[r][keep[r]]
+        rest = np.delete(noise[r], keep[r])
+        if k and len(rest):
+            assert kept_noise.max() <= rest.min() or (
+                kept_noise.max() == rest.min()
+            )
+
+
+@given(
+    lon_jump=st.floats(min_value=150.0, max_value=179.0, allow_nan=False),
+    width=st.floats(min_value=2.0, max_value=20.0, allow_nan=False),
+)
+@settings(max_examples=100, deadline=None)
+def test_unwrap_ring_properties(lon_jump, width):
+    """Any box straddling +-180 unwraps to a contiguous ring whose
+    lon span equals the true geodesic width."""
+    w = min(width, (180.0 - lon_jump) * 2)
+    ring = np.asarray(
+        [
+            (lon_jump, -5.0),
+            (-(360.0 - lon_jump - w) % 360.0 - 0.0, -5.0),
+        ]
+    )
+    east = lon_jump
+    west = lon_jump + w - 360.0  # in [-180, 0)
+    ring = np.asarray([(east, -5.0), (west, -5.0), (west, 5.0), (east, 5.0)])
+    out, wrapped = cells.unwrap_ring(ring)
+    assert wrapped
+    span = out[:, 0].max() - out[:, 0].min()
+    assert np.isclose(span, w)
+    assert (out[:, 0] >= 0.0).all()
