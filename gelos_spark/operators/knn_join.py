@@ -53,8 +53,20 @@ from gelos_spark.functions import cells
 from gelos_spark.functions.cell_udfs import cell_encode_col
 from gelos_spark.functions.geometry import haversine_col
 
-_SHELL_SCHEMA = "query_id long, qlon double, qlat double, k int, cell long"
-_OUT_SCHEMA = "query_id long, rank int, image_id string, dist_km double"
+def _schemas(qid_type: str) -> tuple[str, str, str]:
+    """(shell, straggler, out) schemas with the caller's query-id type
+    carried through — string ids work the same as the default long."""
+    return (
+        f"query_id {qid_type}, qlon double, qlat double, k int, cell long",
+        f"query_id {qid_type}, qlon double, qlat double, k int",
+        f"query_id {qid_type}, rank int, image_id string, dist_km double",
+    )
+
+
+def _qid_type(queries, q: pd.DataFrame) -> str:
+    if not isinstance(queries, pd.DataFrame):
+        return queries.schema["query_id"].dataType.simpleString()
+    return "string" if q["query_id"].dtype == object else "bigint"
 
 
 def default_res(n_tiles: int) -> int:
@@ -130,8 +142,9 @@ def knn_join(
 
     q = queries if isinstance(queries, pd.DataFrame) else queries.toPandas()
     q = q[["query_id", "lon", "lat", "k"]].copy()
+    shell_schema, straggler_schema, out_schema = _schemas(_qid_type(queries, q))
     if len(q) == 0:
-        return spark.createDataFrame([], _OUT_SCHEMA)
+        return spark.createDataFrame([], out_schema)
     q["qcell"] = cells.cell_encode(q["lon"].to_numpy(), q["lat"].to_numpy(), res)
 
     tiles_c = (
@@ -168,7 +181,7 @@ def knn_join(
     rounds = 0
 
     while len(active) > 0 and stats["n"] > 0 and rounds < max_rounds and r_prev < n_grid:
-        shell = spark.createDataFrame(_shell_pdf(active, res, r_prev, r_cur), _SHELL_SCHEMA)
+        shell = spark.createDataFrame(_shell_pdf(active, res, r_prev, r_cur), shell_schema)
         cand = (
             F.broadcast(shell)
             .join(tiles_c, "cell")
@@ -222,7 +235,7 @@ def knn_join(
             qa = np.array([[s["n"], s["kth"], s["qlat"], s["kk"]] for s in qstats])
             bound = cells.knn_bound_km(qa[:, 2], res, r_cur)
             done_ids = [
-                int(s["query_id"])
+                s["query_id"]
                 for s, d in zip(qstats, (qa[:, 0] >= qa[:, 3]) & (qa[:, 1] <= bound))
                 if d
             ]
@@ -243,7 +256,7 @@ def knn_join(
             active[["query_id", "lon", "lat", "k"]].rename(
                 columns={"lon": "qlon", "lat": "qlat"}
             ),
-            "query_id long, qlon double, qlat double, k int",
+            straggler_schema,
         )
         brute = (
             tiles_c.crossJoin(F.broadcast(straggler))
@@ -265,7 +278,7 @@ def knn_join(
 
     if not finalized:
         tiles_c.unpersist()
-        return spark.createDataFrame([], _OUT_SCHEMA)
+        return spark.createDataFrame([], out_schema)
     out = finalized[0]
     for f in finalized[1:]:
         out = out.unionByName(f)

@@ -72,3 +72,17 @@ def test_knn_resolution_invariant(spark):
     a = knn_join(spark, tracker, queries, res=4).toPandas()
     b = knn_join(spark, tracker, queries, res=9).toPandas()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_knn_string_query_ids(spark):
+    """String query ids flow through both physical paths (the id type
+    is carried from the caller's schema, not hardcoded)."""
+    tracker = synth.tracker_df(spark, 800, seed=8)
+    qpdf = synth.query_df(spark, 10, 800, seed=8, k=4).toPandas()
+    qpdf["query_id"] = ["q" + str(v) for v in qpdf["query_id"]]
+    for bf in (0, 2_000_000):
+        got = knn_join(
+            spark, tracker, qpdf, n_tiles_hint=800, brute_force_pairs=bf
+        ).toPandas()
+        assert got["query_id"].str.startswith("q").all()
+        assert len(got) == 40
