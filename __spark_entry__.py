@@ -856,8 +856,12 @@ _MASK_KEEP = 8
     "WITH p AS (SELECT vec_id, unnest(list_transform(range(1, len(embedding) + 1), "
     "i -> {'pos': i, 'val': embedding[i]})) AS u FROM embeddings), "
     "e AS (SELECT vec_id, u.pos AS pos, u.val AS val FROM p), "
+    # the id reduces mod 2^31 before the multiply (masking.NOISE_ID_MOD)
+    # so no intermediate exceeds int64 for any id; the +MOD%MOD makes
+    # the reduction non-negative like NumPy's % even for negative ids
     "r AS (SELECT vec_id, pos, val, row_number() OVER (PARTITION BY vec_id "
-    "ORDER BY (vec_id * 2654435761 + pos * 40503) % 4294967296, pos) AS rn FROM e) "
+    "ORDER BY (((vec_id % 2147483648) + 2147483648) % 2147483648 "
+    "* 2654435761 + pos * 40503) % 4294967296, pos) AS rn FROM e) "
     f"SELECT vec_id, CAST(pos AS BIGINT) AS pos, CAST(val AS DOUBLE) AS val "
     f"FROM r WHERE rn <= {_MASK_KEEP}",
 )

@@ -64,9 +64,20 @@ def _schemas(qid_type: str) -> tuple[str, str, str]:
 
 
 def _qid_type(queries, q: pd.DataFrame) -> str:
+    """Spark type for query_id carried through shells/stragglers/output.
+    For a pandas query frame the dtype maps faithfully (float ids were
+    previously declared bigint — silent truncation); unsupported id
+    dtypes raise instead of guessing."""
     if not isinstance(queries, pd.DataFrame):
         return queries.schema["query_id"].dataType.simpleString()
-    return "string" if q["query_id"].dtype == object else "bigint"
+    dt = q["query_id"].dtype
+    if dt == object:
+        return "string"
+    if np.issubdtype(dt, np.floating):
+        return "double"
+    if np.issubdtype(dt, np.integer):
+        return "bigint"
+    raise ValueError(f"unsupported query_id dtype {dt!r}: use int, float, or str ids")
 
 
 def default_res(n_tiles: int) -> int:

@@ -29,14 +29,22 @@ from pyspark.sql import DataFrame
 NOISE_A = 2654435761
 NOISE_B = 40503
 NOISE_MOD = 1 << 32
+# the id is reduced mod 2^31 BEFORE the multiply: (2^31 - 1) * A +
+# pos * B < 2^63, so the product can never overflow int64 — NumPy's
+# silent wraparound and SQL's negative-dividend % would otherwise
+# diverge for ids above ~3.5e9 (corpus-scale ids)
+NOISE_ID_MOD = 1 << 31
 
 
 def noise_matrix(ids: np.ndarray, length: int) -> np.ndarray:
     """Deterministic per-(id, pos) noise, identical to the SQL
-    ``(id * A + (pos+1) * B) % MOD`` expression (pos 0-based here,
-    1-based in the hash — matching the oracle's 1-based unnest)."""
+    ``((id % 2^31) * A + (pos+1) * B) % MOD`` expression (pos 0-based
+    here, 1-based in the hash — matching the oracle's 1-based unnest).
+    All intermediates fit int64 for ANY int64 id, so the kernel and
+    the DuckDB/Spark oracle stay bit-exact at corpus scale."""
     pos = np.arange(1, length + 1, dtype=np.int64)
-    return (ids[:, None].astype(np.int64) * NOISE_A + pos[None, :] * NOISE_B) % NOISE_MOD
+    ids_r = ids.astype(np.int64) % NOISE_ID_MOD  # non-negative, < 2^31
+    return (ids_r[:, None] * NOISE_A + pos[None, :] * NOISE_B) % NOISE_MOD
 
 
 def random_mask(

@@ -28,11 +28,19 @@ from pyspark.sql import functions as F
 from gelos_spark.plans.checkpoint import Pipeline
 
 _OPS: dict[str, Callable[..., DataFrame]] = {}
+# declared contract per op: which arg keys MUST be present, and
+# whether the stage needs ``input`` wiring — validated up front at
+# build time, so a KeyError escaping an operator is a genuine
+# operator bug, never silently relabelled as a config error
+_OP_REQUIRED: dict[str, tuple[str, ...]] = {}
+_OP_NEEDS_INPUT: dict[str, bool] = {}
 
 
-def op(name: str):
+def op(name: str, required: tuple[str, ...] = (), needs_input: bool = False):
     def reg(fn):
         _OPS[name] = fn
+        _OP_REQUIRED[name] = tuple(required)
+        _OP_NEEDS_INPUT[name] = needs_input
         return fn
 
     return reg
@@ -48,14 +56,14 @@ def registered_ops() -> list[str]:
 # runner from the stage's ``input`` key) is the upstream DataFrame.
 
 
-@op("synth_tracker")
+@op("synth_tracker", required=("n",))
 def _op_synth_tracker(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
     from gelos_spark.sources import synth
 
     return synth.tracker_df(spark, int(conf["n"]), seed=int(conf.get("seed", 42)))
 
 
-@op("synth_images")
+@op("synth_images", required=("n",))
 def _op_synth_images(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
     from gelos_spark.sources import synth
 
@@ -64,7 +72,7 @@ def _op_synth_images(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFra
     )
 
 
-@op("cell_encode")
+@op("cell_encode", needs_input=True)
 def _op_cell_encode(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
     from gelos_spark.functions.cell_udfs import cell_encode_col
 
@@ -76,7 +84,7 @@ def _op_cell_encode(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFram
     )
 
 
-@op("pip_join")
+@op("pip_join", needs_input=True)
 def _op_pip_join(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
     from gelos_spark.operators.pip_join import pip_join
     from gelos_spark.sources import synth
@@ -101,7 +109,7 @@ def _op_pip_join(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
     )
 
 
-@op("vector_pyramid")
+@op("vector_pyramid", required=("leaf_res", "min_res"), needs_input=True)
 def _op_vector_pyramid(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
     from gelos_spark.operators.pyramid import vector_pyramid
 
@@ -113,14 +121,14 @@ def _op_vector_pyramid(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataF
     )
 
 
-@op("decode_stats")
+@op("decode_stats", needs_input=True)
 def _op_decode_stats(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
     from gelos_spark.operators import images as imops
 
     return imops.decode_stats(conf["__input__"])
 
 
-@op("sample_n")
+@op("sample_n", required=("n",), needs_input=True)
 def _op_sample_n(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
     from gelos_spark.operators.projection import sample_ids_hash_order
 
@@ -137,7 +145,7 @@ def _op_sample_n(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
 # embedding_generation.py:63-79, tsne_transform.py:8-11)
 
 
-@op("synth_multisensor")
+@op("synth_multisensor", required=("n",))
 def _op_synth_multisensor(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
     from gelos_spark.operators import multisensor as ms
 
@@ -151,7 +159,7 @@ def _op_synth_multisensor(spark: SparkSession, pipe: Pipeline, conf: dict) -> Da
     )
 
 
-@op("stack_sensors")
+@op("stack_sensors", required=("bands",), needs_input=True)
 def _op_stack_sensors(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
     from gelos_spark.operators import multisensor as ms
 
@@ -164,7 +172,7 @@ def _op_stack_sensors(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFr
     )
 
 
-@op("normalize_stacks")
+@op("normalize_stacks", required=("bands",), needs_input=True)
 def _op_normalize_stacks(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
     from gelos_spark.operators import multisensor as ms
 
@@ -178,7 +186,7 @@ def _op_normalize_stacks(spark: SparkSession, pipe: Pipeline, conf: dict) -> Dat
     )
 
 
-@op("embed")
+@op("embed", needs_input=True)
 def _op_embed(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
     from gelos_spark.operators.model import embed_stacks
 
@@ -190,7 +198,7 @@ def _op_embed(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
     )
 
 
-@op("pca_project")
+@op("pca_project", needs_input=True)
 def _op_pca_project(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
     from gelos_spark.operators import projection as prj
 
@@ -202,7 +210,7 @@ def _op_pca_project(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFram
     )
 
 
-@op("resize")
+@op("resize", required=("w", "h"), needs_input=True)
 def _op_resize(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
     from gelos_spark.operators import images as imops
 
@@ -211,7 +219,7 @@ def _op_resize(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
     )
 
 
-@op("frame_sample")
+@op("frame_sample", required=("sensors", "stride"), needs_input=True)
 def _op_frame_sample(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
     from gelos_spark.operators import multisensor as ms
 
@@ -221,7 +229,7 @@ def _op_frame_sample(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFra
     )
 
 
-@op("plot_scatter")
+@op("plot_scatter", required=("x_col", "y_col", "cat_col", "path"), needs_input=True)
 def _op_plot_scatter(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
     """S8 figure sink as a pipeline stage (the reference's
     transformation CLI ends in category-colored scatters,
@@ -248,7 +256,7 @@ def _op_plot_scatter(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFra
     )
 
 
-@op("tsne")
+@op("tsne", needs_input=True)
 def _op_tsne(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
     from gelos_spark.operators import projection as prj
 
@@ -285,6 +293,14 @@ def validate_config(conf: dict) -> None:
         inp = st.get("input")
         if inp is not None and inp not in seen:
             raise ValueError(f"stage {name!r} wires input {inp!r} before it is defined")
+        if _OP_NEEDS_INPUT.get(opname) and inp is None:
+            raise ValueError(f"stage {name!r}: op {opname!r} needs an 'input' stage")
+        args = st.get("args") or {}
+        missing = [k for k in _OP_REQUIRED.get(opname, ()) if k not in args]
+        if missing:
+            raise ValueError(
+                f"stage {name!r} (op {opname!r}) is missing required args {missing}"
+            )
         seen.add(name)
 
 
@@ -302,19 +318,14 @@ def build_pipeline(
         args: dict[str, Any] = dict(st.get("args") or {})
         inp = st.get("input")
 
-        def fn(sp, _op=_OPS[st["op"]], _args=args, _inp=inp, _st=st):
+        def fn(sp, _op=_OPS[st["op"]], _args=args, _inp=inp):
+            # required args were validated at build time (validate_config)
+            # — any exception from here on is a real operator failure and
+            # propagates untranslated
             if _inp is not None:
                 _args = dict(_args)
                 _args["__input__"] = pipe.output(_inp)
-            try:
-                return _op(sp, pipe, _args)
-            except KeyError as e:
-                # a missing required arg surfaces as a config error
-                # naming the stage, not a bare KeyError from deep inside
-                raise ValueError(
-                    f"stage {_st['name']!r} (op {_st['op']!r}) is missing "
-                    f"required arg {e}"
-                ) from e
+            return _op(sp, pipe, _args)
 
         pipe.stage(st["name"], fn)
     return pipe

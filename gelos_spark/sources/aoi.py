@@ -21,11 +21,23 @@ def _ring(coords: list) -> list[tuple[float, float]]:
     return [(float(x), float(y)) for x, y, *_ in coords]
 
 
+# MultiPolygon parts derive their id from the feature id: part j of
+# feature f gets f * _PART_STRIDE + j, so explicit ids stay traceable
+# to their feature and parts can never collide with another feature's
+# id space (features with id_key must therefore use ids < 2^53/stride,
+# and < _PART_STRIDE parts per feature — validated below)
+_PART_STRIDE = 1000
+
+
 def read_aoi_geojson(path: str, id_key: str | None = None) -> list[dict]:
     """GeoJSON FeatureCollection -> the AOI dict list ``pip_join``
     consumes: [{aoi_id, name, ring, holes?}]. ``aoi_id`` comes from
     ``properties[id_key]`` when given (must be int-castable), else
-    features number sequentially in file order (deterministic)."""
+    features number sequentially in file order (deterministic).
+    MultiPolygon parts get ``feature_id * 1000 + part`` when id_key is
+    given (ids stay derived from properties, per the contract), else
+    sequential part ids; any duplicate aoi_id across the file raises —
+    pip_join would silently merge colliding AOIs' results otherwise."""
     with open(path) as f:
         doc = json.load(f)
     feats = doc.get("features")
@@ -50,11 +62,21 @@ def read_aoi_geojson(path: str, id_key: str | None = None) -> list[dict]:
             raise ValueError(
                 f"{path}: unsupported geometry type {gtype!r} (Polygon/MultiPolygon only)"
             )
+        if len(polys) > _PART_STRIDE:
+            raise ValueError(
+                f"{path}: feature {name!r} has {len(polys)} parts (max {_PART_STRIDE})"
+            )
         for j, rings in enumerate(polys):
             if not rings:
                 raise ValueError(f"{path}: empty polygon in feature {name!r}")
+            if len(polys) == 1:
+                part_id = base_id
+            elif id_key is not None:
+                part_id = base_id * _PART_STRIDE + j
+            else:
+                part_id = next_id + j
             aoi = {
-                "aoi_id": base_id if len(polys) == 1 else next_id + j,
+                "aoi_id": part_id,
                 "name": name if len(polys) == 1 else f"{name}/{j}",
                 "ring": _ring(rings[0]),
             }
@@ -62,4 +84,8 @@ def read_aoi_geojson(path: str, id_key: str | None = None) -> list[dict]:
                 aoi["holes"] = [_ring(r) for r in rings[1:]]
             out.append(aoi)
         next_id = max(next_id, max(a["aoi_id"] for a in out) + 1)
+    ids = [a["aoi_id"] for a in out]
+    if len(set(ids)) != len(ids):
+        dupes = sorted({i for i in ids if ids.count(i) > 1})
+        raise ValueError(f"{path}: duplicate aoi_id values {dupes}")
     return out

@@ -18,6 +18,7 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from gelos_spark.session import ICEBERG_CATALOG
 from gelos_spark.tables.snapshot import SnapshotTable
@@ -38,21 +39,65 @@ def _ident(name: str) -> str:
     return f"{ICEBERG_CATALOG}.{name}"
 
 
+# SnapshotTable tags files with a partition VALUE (a string label);
+# the Iceberg facade realizes the same semantics as a real partition
+# column: every written row carries its label in ``_partition`` and
+# the table is PARTITIONED BY it, so overwrite_partition can target
+# exactly one label. Readers never see the bookkeeping column.
+PARTITION_COL = "_partition"
+
+
 class IcebergTable:
-    """SnapshotTable-shaped facade over a real Iceberg table."""
+    """SnapshotTable-shaped facade over a real Iceberg table.
+
+    Both writers honor their ``partition`` argument (SnapshotTable
+    protocol: a string label tagging this commit's rows) and both
+    create the table — partitioned by the label column — on first
+    write, matching SnapshotTable's works-on-fresh-table behavior.
+    ``overwrite_partition`` replaces ONLY the given label's rows via a
+    targeted ``overwrite(condition)``; the previous implementation's
+    ``overwritePartitions()`` on an unpartitioned table replaced the
+    entire table (dynamic overwrite of the sole global partition)."""
 
     def __init__(self, spark: SparkSession, name: str):
         self.spark = spark
         self.ident = _ident(name)
 
+    def _tag(self, df: DataFrame, partition: str | None) -> DataFrame:
+        return df.withColumn(
+            PARTITION_COL,
+            F.lit(partition).cast("string"),
+        )
+
+    def _create(self, tagged: DataFrame) -> None:
+        tagged.writeTo(self.ident).partitionedBy(F.col(PARTITION_COL)).create()
+
     def append(self, df: DataFrame, partition: str | None = None) -> int:
-        df.writeTo(self.ident).createOrReplace() if not self._exists() else df.writeTo(
-            self.ident
-        ).append()
+        tagged = self._tag(df, partition)
+        if not self._exists():
+            self._create(tagged)
+        else:
+            tagged.writeTo(self.ident).append()
         return self.current_snapshot_id()
 
     def overwrite_partition(self, df: DataFrame, partition: str) -> int:
-        df.writeTo(self.ident).overwritePartitions()
+        """Idempotent replace of every row tagged ``partition`` —
+        other partitions are untouched (resume-safe, like
+        SnapshotTable.overwrite_partition)."""
+        tagged = self._tag(df, partition)
+        if not self._exists():
+            self._create(tagged)
+        else:
+            tagged.writeTo(self.ident).overwrite(F.col(PARTITION_COL) == F.lit(partition))
+        return self.current_snapshot_id()
+
+    def overwrite(self, df: DataFrame, partition: str | None = None) -> int:
+        """Replace the whole table in one atomic snapshot."""
+        tagged = self._tag(df, partition)
+        if not self._exists():
+            self._create(tagged)
+        else:
+            tagged.writeTo(self.ident).overwrite(F.lit(True))
         return self.current_snapshot_id()
 
     def read(self, spark: SparkSession | None = None, snapshot_id: int | None = None) -> DataFrame:
@@ -60,7 +105,7 @@ class IcebergTable:
         r = sp.read
         if snapshot_id is not None:
             r = r.option("snapshot-id", str(snapshot_id))
-        return r.table(self.ident)
+        return r.table(self.ident).drop(PARTITION_COL)
 
     read_at = read
 

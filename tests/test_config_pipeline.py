@@ -84,6 +84,45 @@ def test_missing_required_arg_names_the_stage(spark, tmp_path):
         cfg.build_pipeline(spark, conf, root=str(tmp_path / "bad"))
 
 
+def test_missing_input_wiring_is_a_config_error(spark, tmp_path):
+    from gelos_spark.plans import config as cfg
+
+    conf = {
+        "run_id": "bad",
+        "stages": [{"name": "c", "op": "cell_encode", "args": {"res": 8}}],
+    }
+    with pytest.raises(ValueError, match="needs an 'input' stage"):
+        cfg.build_pipeline(spark, conf, root=str(tmp_path / "bad"))
+
+
+def test_operator_keyerror_propagates_untranslated(spark, tmp_path):
+    """A KeyError raised INSIDE an operator (here: stack_sensors on a
+    band dict missing a declared sensor) must surface as the real
+    error, not be relabelled 'missing required arg' (ADVICE r3)."""
+    from gelos_spark.plans import config as cfg
+
+    conf = {
+        "run_id": "kerr",
+        "stages": [
+            {
+                "name": "imgs",
+                "op": "synth_multisensor",
+                "args": {"n": 4, "sensors": {"s1": ["VV"]}, "t_steps": 1, "w": 8},
+            },
+            {
+                "name": "stack",
+                "op": "stack_sensors",
+                "input": "imgs",
+                # bands declares a sensor the input frame doesn't carry
+                "args": {"bands": {"nope": ["X1"]}},
+            },
+        ],
+    }
+    with pytest.raises(Exception) as ei:
+        cfg.build_pipeline(spark, conf, root=str(tmp_path / "kerr"))
+    assert "missing required arg" not in str(ei.value)
+
+
 def test_plot_scatter_stage(spark, tmp_path):
     """The transformation CLI's terminal plot as a config stage: the
     figure is rendered by the engine's PNG writer and its metadata row

@@ -30,8 +30,12 @@ def _emb(spark, n=64, dim=24):
 
 def _exploded_oracle(df):
     e = df.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+    # negative-safe mod-2^31 reduction (matches NumPy's non-negative %)
+    id_r = (
+        F.col("vec_id") % F.lit(masking.NOISE_ID_MOD) + F.lit(masking.NOISE_ID_MOD)
+    ) % F.lit(masking.NOISE_ID_MOD)
     h = (
-        F.col("vec_id") * F.lit(masking.NOISE_A)
+        id_r * F.lit(masking.NOISE_A)
         + (F.col("pos") + 1) * F.lit(masking.NOISE_B)
     ) % F.lit(masking.NOISE_MOD)
     w = Window.partitionBy("vec_id").orderBy(h.asc(), F.col("pos").asc())
@@ -99,6 +103,42 @@ def test_ragged_lengths(spark):
         length = 6 + (r.vec_id % 3) * 4
         assert len(r.mask) == length
         assert len(r.kept_pos) == length // 2
+
+
+def test_large_id_kernel_matches_duckdb(spark):
+    """Corpus-scale ids (above 2^31 and ~3.5e9, where the pre-fix
+    int64 multiply overflowed) and a negative id must keep the kernel
+    bit-exact with the SQL oracle's arithmetic (ADVICE r3)."""
+    import duckdb
+
+    ids = [7, (1 << 31) + 5, 3_500_000_123, (1 << 62) + 11, -9]
+    dim = 16
+    rows = [(i, [float((abs(i) * 13 + j) % 50) for j in range(dim)]) for i in ids]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    masked = masking.random_mask(df, "embedding", "vec_id", len_keep=KEEP)
+    kernel = {
+        (r.vec_id, p + 1, round(v, 9))
+        for r in masked.collect()
+        for p, v in zip(r.kept_pos, r.kept_val)
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE embeddings AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, {list(v)!r}::DOUBLE[])" for i, v in rows)
+        + ") t(vec_id, embedding)"
+    )
+    oracle_rows = con.execute(
+        "WITH p AS (SELECT vec_id, unnest(list_transform(range(1, len(embedding) + 1), "
+        "i -> {'pos': i, 'val': embedding[i]})) AS u FROM embeddings), "
+        "e AS (SELECT vec_id, u.pos AS pos, u.val AS val FROM p), "
+        "r AS (SELECT vec_id, pos, val, row_number() OVER (PARTITION BY vec_id "
+        f"ORDER BY (((vec_id % {masking.NOISE_ID_MOD}) + {masking.NOISE_ID_MOD}) "
+        f"% {masking.NOISE_ID_MOD} * {masking.NOISE_A} + pos * {masking.NOISE_B}) "
+        f"% {masking.NOISE_MOD}, pos) AS rn FROM e) "
+        f"SELECT vec_id, pos, val FROM r WHERE rn <= {KEEP}"
+    ).fetchall()
+    oracle = {(vid, pos, round(val, 9)) for vid, pos, val in oracle_rows}
+    assert kernel == oracle
 
 
 def test_rejects_bad_args(spark):

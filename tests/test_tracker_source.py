@@ -125,6 +125,71 @@ def test_read_aoi_geojson_polygon_with_hole(spark, tmp_path):
     assert set(zip(got["aoi_id"].tolist(), got["image_id"].tolist())) == exp
 
 
+def test_read_aoi_geojson_id_key_multipolygon(tmp_path):
+    """With id_key, MultiPolygon part ids derive from the feature's
+    property id (feature*1000+part) instead of the auto counter, and
+    id collisions across features raise (ADVICE r3)."""
+    import json
+
+    import pytest as _p
+
+    from gelos_spark.sources.aoi import read_aoi_geojson
+
+    sq = lambda x0: [[[x0, 0], [x0 + 5, 0], [x0 + 5, 5], [x0, 5], [x0, 0]]]
+    doc = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "properties": {"fid": 7, "name": "multi"},
+                "geometry": {"type": "MultiPolygon", "coordinates": [sq(0), sq(10)]},
+            },
+            {
+                "type": "Feature",
+                "properties": {"fid": 3, "name": "single"},
+                "geometry": {"type": "Polygon", "coordinates": sq(20)},
+            },
+        ],
+    }
+    p = tmp_path / "keyed.geojson"
+    p.write_text(json.dumps(doc))
+    aois = read_aoi_geojson(str(p), id_key="fid")
+    assert [a["aoi_id"] for a in aois] == [7000, 7001, 3]
+    assert [a["name"] for a in aois] == ["multi/0", "multi/1", "single"]
+
+    # a collision (two features declaring the same fid) must raise
+    doc["features"][1]["properties"]["fid"] = 7
+    doc["features"][1]["geometry"] = {
+        "type": "MultiPolygon",
+        "coordinates": [sq(30), sq(40)],
+    }
+    p.write_text(json.dumps(doc))
+    with _p.raises(ValueError, match="duplicate aoi_id"):
+        read_aoi_geojson(str(p), id_key="fid")
+
+    # auto-minted MultiPolygon part ids colliding with a later explicit
+    # id raise too (no id_key -> sequential; here forced via id_key=None
+    # is collision-free by construction, so check the explicit case)
+    doc2 = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "properties": {"fid": 1},
+                "geometry": {"type": "Polygon", "coordinates": sq(0)},
+            },
+            {
+                "type": "Feature",
+                "properties": {"fid": 1},
+                "geometry": {"type": "Polygon", "coordinates": sq(10)},
+            },
+        ],
+    }
+    p.write_text(json.dumps(doc2))
+    with _p.raises(ValueError, match="duplicate aoi_id"):
+        read_aoi_geojson(str(p), id_key="fid")
+
+
 def test_read_aoi_geojson_validation(tmp_path):
     import json
 
