@@ -285,7 +285,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     seed: int = 42,
     min_jaccard: float = 0.5,
-    checkpoint: bool = True,
+    checkpoint: bool | str = True,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
@@ -293,10 +293,12 @@ def minhash_lsh_pairs(
     fraction of matching signature positions, filtered to
     >= min_jaccard, deduped across bands, ordered.
 
-    ``checkpoint=False`` returns the un-materialized plan (for
-    `.explain` auditing or callers composing it further); the
-    signature cache then stays persisted until the session drops it —
-    the default eagerly materializes and releases it.
+    ``checkpoint`` (plans/materialize.finalize): True eagerly
+    localCheckpoints and releases the signature cache; "reliable"
+    uses a durable ``DataFrame.checkpoint()`` (cluster executor-loss
+    survival); False returns the un-materialized plan (for `.explain`
+    auditing or callers composing it further) — the signature cache
+    then stays persisted until the session drops it.
     """
     rows_per_band = num_hashes // bands
     # signature hashing is the CPU-heavy stage: spread it across the
@@ -346,15 +348,9 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .orderBy("id_a", "id_b")
     )
-    if not checkpoint:
-        return out
-    # eager localCheckpoint materializes the pairs (so the signature
-    # cache can be released NOW) without pinning executor cache: its
-    # blocks are reference-counted and freed when the caller drops the
-    # frame, unlike a returned .persist() no caller ever unpersists
-    out = out.localCheckpoint(eager=True)
-    sigs.unpersist()  # no cache growth across repeated calls
-    return out
+    from gelos_spark.plans.materialize import finalize
+
+    return finalize(out, checkpoint, caches=[sigs])
 
 
 # ----------------------------------------------------------- simhash

@@ -128,6 +128,7 @@ def knn_join(
     n_tiles_hint: int | None = None,
     max_rounds: int = 3,
     brute_force_pairs: int = 2_000_000,
+    checkpoint: bool | str = True,
 ) -> DataFrame:
     """k nearest tiles per query point.
 
@@ -135,6 +136,13 @@ def knn_join(
     a Spark or pandas DataFrame (the query side is driver-resident).
     Returns (query_id, rank, image_id, dist_km), ordered by
     (query_id, rank).
+
+    ``checkpoint``: materialization policy for the returned frame
+    (plans/materialize.finalize) — True = eager localCheckpoint
+    (default; round caches released now), "reliable" = durable
+    ``DataFrame.checkpoint()`` for cluster executor-loss survival,
+    False = the composable lazy plan (caches stay persisted; the
+    caller owns their lifetime).
 
     Cost-based path selection: when tiles x queries <=
     ``brute_force_pairs`` one exact brute-force pass is cheaper than
@@ -293,17 +301,12 @@ def knn_join(
     out = finalized[0]
     for f in finalized[1:]:
         out = out.unionByName(f)
-    # eager localCheckpoint: materializes the top-k (so every round
-    # cache can be released now) and its blocks are GC-reference-counted
-    # — no permanently-persisted return value growing executor cache
     result = (
         out.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= F.col("k"))
         .select("query_id", "rank", "image_id", "dist_km")
         .orderBy("query_id", "rank")
-        .localCheckpoint(eager=True)
     )
-    tiles_c.unpersist()
-    for f in persisted:
-        f.unpersist()
-    return result
+    from gelos_spark.plans.materialize import finalize
+
+    return finalize(result, checkpoint, caches=[tiles_c, *persisted])

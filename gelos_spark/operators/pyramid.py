@@ -134,6 +134,7 @@ def vector_pyramid(
     min_res: int,
     cat_col: str = "lulc",
     strategy: str = "auto",
+    checkpoint: bool | str = True,
 ) -> DataFrame:
     """Vector side of the pyramid: per-cell tile counts + per-category
     counts at every zoom level. Returns (res, cell, n_tiles, n_cat)
@@ -161,7 +162,15 @@ def vector_pyramid(
         the geometric decay (~1.33x leaf) beats the explode's Lx.
 
     ``auto`` picks fused while L x 4^leaf_res stays small (<= 2^26),
-    hierarchical beyond — the 100 TB deep-pyramid path."""
+    hierarchical beyond — the 100 TB deep-pyramid path.
+
+    ``checkpoint`` (plans/materialize.finalize) governs how the
+    HIERARCHICAL result materializes: True = eager localCheckpoint
+    (level caches released now), "reliable" = durable
+    ``DataFrame.checkpoint()``, False = the composable lazy plan (the
+    level caches stay persisted; caller owns their lifetime). The
+    fused strategy persists nothing and always returns the lazy,
+    fully-composable plan."""
     n_levels = leaf_res - min_res + 1
     fused = strategy == "fused" or (
         strategy == "auto" and n_levels * (4 ** leaf_res) <= (1 << 26)
@@ -170,6 +179,13 @@ def vector_pyramid(
         F.count("*").alias("n")
     )
     if fused:
+        from gelos_spark.plans.materialize import finalize
+
+        def _fused_finalize(df: DataFrame) -> DataFrame:
+            # no caches to release -> the default stays the lazy plan;
+            # an explicit "reliable" still gets its durable checkpoint
+            return finalize(df, checkpoint) if checkpoint == "reliable" else df
+
         ancestors = F.array(
             *[
                 F.struct(
@@ -179,7 +195,7 @@ def vector_pyramid(
                 for r in range(leaf_res, min_res - 1, -1)
             ]
         )
-        return (
+        return _fused_finalize(
             pairs.select(F.explode(ancestors).alias("rc"), "cat", "n")
             .groupBy(F.col("rc.res").alias("res"), F.col("rc.cell").alias("cell"), "cat")
             .agg(F.sum("n").alias("n"))
@@ -206,13 +222,11 @@ def vector_pyramid(
             F.sum("n").alias("n_tiles"), F.count("*").cast("long").alias("n_cat")
         ).select(F.lit(res).alias("res"), "cell", "n_tiles", "n_cat")
         out = stats if out is None else out.unionByName(stats)
-    # eager localCheckpoint materializes the rollup so the level caches
-    # can be released now; unlike a returned .persist(), its blocks are
-    # freed by the context cleaner once the caller drops the frame
-    result = out.orderBy("res", "cell").localCheckpoint(eager=True)
-    for _, lvl in levels:
-        lvl.unpersist()
-    return result
+    from gelos_spark.plans.materialize import finalize
+
+    return finalize(
+        out.orderBy("res", "cell"), checkpoint, caches=[lvl for _, lvl in levels]
+    )
 
 
 def merge_pyramids(a: DataFrame, b: DataFrame) -> DataFrame:

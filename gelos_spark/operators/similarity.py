@@ -44,9 +44,26 @@ def brute_force_topk(
     vec_col: str = "embedding",
     qid_col: str = "query_id",
     qvec_col: str = "embedding",
+    max_queries: int | None = 100_000,
 ) -> DataFrame:
     """Exact cosine top-k: corpus x broadcast(queries) -> window.
-    Returns (query_id, rank, vec_id, cosine) ordered."""
+    Returns (query_id, rank, vec_id, cosine) ordered.
+
+    The query side BROADCASTS (the corpus streams once against it), so
+    it must be request-sized: more than ``max_queries`` rows raises —
+    a corpus-sized query table here would mean a broadcast OOM and an
+    all-pairs scan. Use ``lsh_topk`` or ``ivf_topk(...,
+    collect_queries=False)`` for corpus x corpus search, or pass
+    ``max_queries=None`` to skip the (one cheap action) guard."""
+    if max_queries is not None:
+        probe = queries.limit(max_queries + 1).count()
+        if probe > max_queries:
+            raise ValueError(
+                f"brute_force_topk broadcasts the query side: got > {max_queries} "
+                "query rows. For corpus-sized query sets use lsh_topk or "
+                "ivf_topk(collect_queries=False); raise max_queries (or pass "
+                "None) only if the broadcast genuinely fits."
+            )
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"),
                       _norm_expr(vec_col).alias("cn"))
     q = queries.select(F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("qv"),
@@ -71,23 +88,22 @@ def _hyperplanes(dim: int, nbits: int, ntables: int, seed: int) -> np.ndarray:
 
 
 def _bucket_udf(planes: np.ndarray):
+    """vector -> array<long> of per-table bucket codes (position =
+    table index). Output assembly is one C-level ``tolist`` on the
+    [N, T] code matrix — the earlier per-row list-of-dict loop was the
+    slow part of the stage at scan scale; the JVM ``posexplode`` then
+    yields (tbl, bucket) pairs with zero Python cost."""
     ntables, nbits, dim = planes.shape
 
-    @F.pandas_udf(T.ArrayType(T.StructType([
-        T.StructField("tbl", T.IntegerType()),
-        T.StructField("bucket", T.LongType()),
-    ])))
-    def _buckets(vec: pd.Series) -> pd.Series:
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _codes(vec: pd.Series) -> pd.Series:
         m = np.stack([np.asarray(v, dtype=np.float64) for v in vec])  # [B, dim]
-        out = []
         sgn = np.einsum("tbd,nd->ntb", planes, m) > 0  # [N, T, nbits]
         weights = (1 << np.arange(nbits, dtype=np.int64))
-        codes = (sgn * weights[None, None, :]).sum(axis=2)  # [N, T]
-        for i in range(len(m)):
-            out.append([{"tbl": int(t), "bucket": int(codes[i, t])} for t in range(ntables)])
-        return pd.Series(out)
+        codes = (sgn * weights[None, None, :]).sum(axis=2)  # [N, T] int64
+        return pd.Series(codes.tolist())
 
-    return _buckets
+    return _codes
 
 
 def lsh_topk(
@@ -114,12 +130,12 @@ def lsh_topk(
 
     c = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"), _norm_expr(vec_col).alias("cn"),
-        F.explode(bucketize(F.col(vec_col))).alias("bk"),
-    ).select("vec_id", "cv", "cn", F.col("bk.tbl").alias("tbl"), F.col("bk.bucket").alias("bucket"))
+        F.posexplode(bucketize(F.col(vec_col))).alias("tbl", "bucket"),
+    )
     q = queries.select(
         F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("qv"), _norm_expr(qvec_col).alias("qn"),
-        F.explode(bucketize(F.col(qvec_col))).alias("bk"),
-    ).select("query_id", "qv", "qn", F.col("bk.tbl").alias("tbl"), F.col("bk.bucket").alias("bucket"))
+        F.posexplode(bucketize(F.col(qvec_col))).alias("tbl", "bucket"),
+    )
 
     cand = (
         c.join(F.broadcast(q), ["tbl", "bucket"])

@@ -62,3 +62,50 @@ def test_ivf_distributed_probe_identical_to_driver_path(spark):
             spark, index, cents, q, k=10, nprobe=nprobe, collect_queries=False
         )
         assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+
+def test_brute_force_topk_guards_corpus_sized_query_side(spark):
+    """The query side broadcasts, so a corpus-sized query table must
+    raise with a pointer to the bucketed paths (VERDICT r3 item 5);
+    max_queries=None opts out of the guard."""
+    rows = [(i, [float(i % 7), float(i % 5), 1.0]) for i in range(64)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="lsh_topk"):
+        sim.brute_force_topk(emb, emb, k=3, max_queries=32)
+    # under the bound (or opted out) it runs
+    q = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    assert sim.brute_force_topk(emb, q, k=3, max_queries=32).count() == 12
+    assert sim.brute_force_topk(emb, q, k=3, max_queries=None).count() == 12
+
+
+def test_lsh_topk_recall_vs_brute_force(spark):
+    """Random-hyperplane LSH with enough tables recovers most of the
+    exact top-k; returned scores are true cosines (exact re-rank), so
+    every (query, vec) pair the ANN finds must carry the same cosine
+    the brute-force path assigns it. Pins the vectorized (posexplode
+    of array<long> codes) bucket emission to the pre-vectorized
+    semantics."""
+    rng = np.random.default_rng(17)
+    base = rng.standard_normal((8, 16))
+    rows = []
+    for i in range(400):
+        v = base[i % 8] + 0.15 * rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = sim.brute_force_topk(emb, q, k=10)
+    ann = sim.lsh_topk(spark, emb, q, k=10, nbits=8, ntables=12, seed=42)
+    r = sim.recall_at_k(ann, exact, 10)
+    assert r >= 0.85, f"LSH recall@10 too low: {r}"
+    ex = {(x.query_id, x.vec_id): x.cosine for x in exact.collect()}
+    for row in ann.collect():
+        key = (row.query_id, row.vec_id)
+        if key in ex:
+            assert abs(row.cosine - ex[key]) < 1e-9
+    # determinism: same seed, same buckets, same rows
+    again = sim.lsh_topk(spark, emb, q, k=10, nbits=8, ntables=12, seed=42)
+    assert sorted(map(tuple, ann.collect())) == sorted(map(tuple, again.collect()))
