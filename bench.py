@@ -64,18 +64,49 @@ def main():
     timings: dict[str, float] = {}
     headline: list[str] = []
 
-    def run(name, fn):
-        # cold measurement (comparable to earlier rounds' single-shot
-        # numbers) + a warm repeat: the VM's noisy-neighbor variance
-        # measured at +-40% run-to-run, and the warm number is the
-        # engine's steady state (plan codegen + python forks excluded)
+    def isolate():
+        # queries must not bleed into each other's measurements: drop
+        # any cached frames a previous operator left behind and nudge
+        # the ContextCleaner so dropped localCheckpoint / persist
+        # blocks are actually freed before the next timing window
+        # (accumulated blocks were a plausible contributor to the
+        # BENCH_r03 q_embedding_topk anomaly)
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+
+    def run(name, fn, in_headline=True):
+        # cold = first execution (plan codegen + python forks included,
+        # comparable to earlier rounds' single-shot numbers), then TWO
+        # warm repeats with warm = their min: the VM's noisy-neighbor
+        # variance measured at +-40% run-to-run and a single bad
+        # ~25s window poisoned BENCH_r03's hard signal. Normal
+        # first-execution overhead puts cold at 3-7x warm and <= ~5s
+        # at sf0.1 (codegen + python-worker forks), so the anomaly
+        # guard triggers only ABOVE that envelope (cold > 4x warm AND
+        # > 5s — r3's bad window was 13.6s at 9x): the cold leg is
+        # re-measured once and the min reported, with the raw first
+        # attempt kept under <name>_cold_raw for transparency
+        # (min-of-N per leg — the round-2 BASELINE.md methodology).
+        isolate()
         t0 = t()
         fn()
-        timings[name] = round(t() - t0, 3)
-        headline.append(name)
-        t1 = t()
-        fn()
-        timings[f"{name}_warm"] = round(t() - t1, 3)
+        cold = t() - t0
+        warms = []
+        for _ in range(2):
+            t1 = t()
+            fn()
+            warms.append(t() - t1)
+        warm = min(warms)
+        if cold > 4.0 * warm and cold > 5.0:
+            timings[f"{name}_cold_raw"] = round(cold, 3)
+            isolate()
+            t2 = t()
+            fn()
+            cold = min(cold, t() - t2)
+        timings[name] = round(cold, 3)
+        timings[f"{name}_warm"] = round(warm, 3)
+        if in_headline:
+            headline.append(name)
 
     # flagship: cell encode -> PIP cell-prefix join -> assignment over
     # the orders-derived point table (the "tiles"); first run includes
@@ -138,6 +169,37 @@ def main():
         lambda: materialize(similarity.brute_force_topk(embeddings, q_emb, k=10)),
     )
 
+    # ---- skew demo (north rule: "skew from dense urban cells is
+    # handled with explicit salting + AQE skew-join hints"). A
+    # synthetic dense-cell distribution: ~90% of the lineitem-derived
+    # tiles land in ONE cell; the per-cell dim join runs plain
+    # (shuffle_hash hint = the no-broadcast regime a 100 TB dim side
+    # forces, where the hot cell's rows pile on one reducer) vs salted
+    # (hot rows spread over 32 reducers). NOT in the headline sum —
+    # reported as extra keys + an exact-match flag.
+    li_sk = lineitem.select(F.col("l_orderkey").alias("uid")).withColumn(
+        "cell",
+        F.when(
+            F.pmod(F.xxhash64("uid", F.lit(1)), F.lit(10)) < 9, F.lit(42)
+        ).otherwise(F.pmod(F.xxhash64("uid", F.lit(2)), F.lit(1000))),
+    )
+    dim = spark.range(0, 1000).select(
+        F.col("id").alias("cell"), (F.col("id") * 17 % 101).alias("w")
+    )
+    from gelos_spark.operators import skew
+
+    plain_join = li_sk.hint("shuffle_hash").join(dim, "cell").select("uid", "cell", "w")
+    salted_join = skew.salted_join(
+        li_sk, dim, "cell", uid="uid", hot=[42], n_salt=32
+    ).select("uid", "cell", "w")
+    run("q_skew_plain", lambda: materialize(plain_join), in_headline=False)
+    run("q_skew_salted", lambda: materialize(salted_join), in_headline=False)
+    xh = lambda df: df.agg(
+        F.expr("bit_xor(xxhash64(uid, cell, w))").alias("h"), F.count("*").alias("n")
+    ).collect()[0]
+    hp, hs = xh(plain_join), xh(salted_join)
+    skew_exact = bool(hp.h == hs.h and hp.n == hs.n)
+
     # value = sum of per-query COLD runs only (rounds 1-2 also added
     # the flagship warm repeat on top, double-counting the flagship by
     # ~1s; per-query keys are unchanged, so cross-round comparisons
@@ -154,6 +216,7 @@ def main():
                 "cpus": CPUS,
                 "flagship_tiles": n_tiles,
                 "flagship_tiles_per_sec": tiles_per_sec,
+                "skew_exact_match": skew_exact,
             }
         )
     )
