@@ -274,6 +274,59 @@ def _op_tsne(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
     return spark.createDataFrame(pdf)
 
 
+# ----------------------- bucketed co-located joins (SURVEY.md §4):
+# the recurring fact-to-fact join on ``cell`` (tiles x per-cell
+# stats) shuffles BOTH corpora every run unless the tables are
+# written bucketed on the join key once — then Spark plans a
+# SortMergeJoin with NO Exchange on either side. The reference analog
+# is the identity-partitioned output tree every downstream read
+# relies on (gelos/embedding_generation.py:55-57,
+# embedding_transformation.py:70-73).
+
+
+@op("write_bucketed", required=("table", "key", "n_buckets"), needs_input=True)
+def _op_write_bucketed(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
+    """Persist the upstream frame bucketed+sorted by the join key as a
+    catalog table; a 1-row metadata frame rides the lineage (table
+    name, rows, bucket spec) so the layout commit is resumable and
+    auditable like any other stage."""
+    from gelos_spark.tables import bucketed as bk
+
+    df = conf["__input__"]
+    bk.write_bucketed(
+        df, conf["table"], conf["key"], int(conf["n_buckets"]),
+        mode=conf.get("mode", "overwrite"),
+    )
+    rows = spark.table(conf["table"]).count()
+    return spark.createDataFrame(
+        [(conf["table"], int(rows), int(conf["n_buckets"]), conf["key"])],
+        "table string, rows long, n_buckets int, key string",
+    )
+
+
+@op("bucketed_join", required=("left_table", "right_table", "key"))
+def _op_bucketed_join(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
+    """Co-located join of two ``write_bucketed`` tables. By default the
+    stage REFUSES to run a plan containing a shuffle Exchange — layout
+    drift (mismatched keys/bucket counts) silently degrading to a
+    double shuffle is exactly the regression this op exists to
+    prevent; pass ``require_no_exchange: false`` to allow it."""
+    from gelos_spark.tables import bucketed as bk
+
+    out = bk.colocated_join(
+        spark, conf["left_table"], conf["right_table"], conf["key"],
+        how=conf.get("how", "inner"),
+    )
+    if bool(conf.get("require_no_exchange", True)) and bk.plan_has_exchange(out):
+        raise ValueError(
+            f"bucketed_join({conf['left_table']}, {conf['right_table']}) plan "
+            "contains a shuffle Exchange — both tables must be written with "
+            "write_bucketed on the same key and n_buckets (set "
+            "require_no_exchange: false to run anyway)"
+        )
+    return out
+
+
 # ------------------------------------------------------------ runner
 
 
