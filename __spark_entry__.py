@@ -1507,6 +1507,26 @@ def _perturb(spark, sf_dir):
     return out.select("image_id", "w", "h", "fmt", "phash")
 
 
+@_q("knn_distributed")
+def _knn_distributed(spark, sf_dir):
+    # J5 at corpus query scale: the fully-distributed ring-expansion
+    # path (query side never collected; shells from the same
+    # cell_shell_batch kernel as a vectorized pandas UDF; tiles
+    # shuffled once into a cell-partitioned layout). Rows-only here;
+    # bit-equality with the driver-resident path (itself brute-force
+    # oracled) is pytest's job (tests/test_knn_join.py).
+    from gelos_spark.operators.knn_join import knn_join_distributed
+
+    (customer,) = _tables(spark, sf_dir, "customer")
+    pts = _points_df(customer, "c_custkey")
+    qdf = spark.createDataFrame(
+        [(i, -55.0 + i * 1.7, -45.0 + i * 1.4, 10) for i in range(32)],
+        "query_id long, lon double, lat double, k int",
+    )
+    n = customer.count()
+    return knn_join_distributed(spark, pts, qdf, n_tiles_hint=n)
+
+
 @_q("minhash_lsh_pairs")
 def _minhash_lsh_pairs(spark, sf_dir):
     (docs,) = _tables(spark, sf_dir, "documents")

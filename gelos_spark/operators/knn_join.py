@@ -310,3 +310,217 @@ def knn_join(
     from gelos_spark.plans.materialize import finalize
 
     return finalize(result, checkpoint, caches=[tiles_c, *persisted])
+
+
+def _shell_udf(res: int, r0: int, r1: int):
+    """pandas_udf: query cell -> array<long> of shell cells with grid
+    Chebyshev distance in (r0, r1] (the same cells.cell_shell_batch
+    kernel the driver-resident path uses, now running per Arrow batch
+    on executors)."""
+
+    @F.pandas_udf("array<long>")
+    def _shell(qc: pd.Series) -> pd.Series:
+        arr = qc.to_numpy()
+        idx, out = cells.cell_shell_batch(arr, res, r0, r1)
+        counts = np.bincount(idx, minlength=len(arr))
+        splits = np.split(out, np.cumsum(counts)[:-1])
+        return pd.Series([s.tolist() for s in splits])
+
+    return _shell
+
+
+def _bound_km_col(qlat: F.Column, res: int, r: int) -> F.Column:
+    """Column twin of cells.knn_bound_km: lower bound on the distance
+    to any tile outside the explored radius-r disk."""
+    n = 1 << res
+    h_deg = 180.0 / n
+    h_km = h_deg * cells.KM_PER_DEG_LAT_MIN
+    worst_lat = F.least(F.abs(qlat) + F.lit((r + 1) * h_deg), F.lit(89.9999))
+    w_km = (
+        F.lit(360.0 / n * cells.KM_PER_DEG_LAT_MIN)
+        * F.cos(F.radians(worst_lat))
+    )
+    return F.lit(float(r)) * F.least(F.lit(h_km), F.greatest(w_km, F.lit(0.0)))
+
+
+def knn_join_distributed(
+    spark: SparkSession,
+    tiles: DataFrame,
+    queries: DataFrame,
+    res: int | None = None,
+    n_tiles_hint: int | None = None,
+    max_rounds: int = 12,
+    shuffle_partitions: int | None = None,
+    checkpoint: bool | str = True,
+) -> DataFrame:
+    """k nearest tiles per query point for CORPUS-SIZED query sets.
+
+    Same semantics (and bit-identical output) as :func:`knn_join`, but
+    the query side stays a distributed DataFrame end-to-end — use this
+    when the "queries" are themselves a table (full-corpus self-kNN,
+    tile-to-tile retrieval) rather than a request batch. Mirrors
+    ``ivf_topk(collect_queries=False)``.
+
+    Scale design per round (ring radius grows 3x until every query's
+    k-th distance beats the unexplored-region bound):
+      - shell cells come from the SAME cells.cell_shell_batch kernel,
+        now a vectorized pandas UDF over the active queries;
+      - tiles are shuffled ONCE into a cell-partitioned persisted
+        layout; each round's shell join reuses that partitioning, so
+        only the (much smaller) shell side shuffles per round;
+      - the finalization bound is pure column math (no driver-side
+        per-query state — the driver only sees the active COUNT);
+      - queries still active once the radius covers the grid finalize
+        with whatever candidates exist (k > population returns all,
+        like knn_join).
+
+    ``checkpoint``: materialization policy (plans/materialize.finalize).
+    """
+    if res is None:
+        n_hint = n_tiles_hint if n_tiles_hint is not None else tiles.count()
+        res = default_res(n_hint)
+    n_grid = 1 << res
+    qid_type = queries.schema["query_id"].dataType.simpleString()
+    out_schema = f"query_id {qid_type}, rank int, image_id string, dist_km double"
+
+    parts = shuffle_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    tiles_c = (
+        tiles.select("image_id", "lon", "lat")
+        .withColumn("cell", cell_encode_col(F.col("lon"), F.col("lat"), res))
+        .repartition(parts, "cell")
+        .persist()
+    )
+    stats = (
+        tiles_c.agg(
+            F.count("*").alias("n"),
+            F.approx_count_distinct("cell").alias("occ"),
+            F.min("lon").alias("lon0"),
+            F.max("lon").alias("lon1"),
+            F.min("lat").alias("lat0"),
+            F.max("lat").alias("lat1"),
+        )
+        .collect()[0]
+        .asDict()
+    )
+    if stats["n"] == 0:
+        tiles_c.unpersist()
+        return spark.createDataFrame([], out_schema)
+
+    active = (
+        queries.select("query_id", "lon", "lat", "k")
+        .withColumn("qcell", cell_encode_col(F.col("lon"), F.col("lat"), res))
+        .persist()
+    )
+    k_max_row = active.agg(F.max("k")).collect()[0][0]
+    if k_max_row is None:
+        active.unpersist()
+        tiles_c.unpersist()
+        return spark.createDataFrame([], out_schema)
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist_km").asc(), F.col("image_id").asc()
+    )
+    topk: DataFrame | None = None
+    finalized: list[DataFrame] = []
+    persisted: list[DataFrame] = [active]
+    r_prev = -1
+    r_cur = _initial_radius(stats, res, int(k_max_row))
+    rounds = 0
+
+    def _dist_cand(cand: DataFrame) -> DataFrame:
+        return cand.select(
+            "query_id",
+            "qlon",
+            "qlat",
+            "k",
+            "image_id",
+            haversine_col(
+                F.col("qlon"), F.col("qlat"), F.col("lon"), F.col("lat")
+            ).alias("dist_km"),
+        )
+
+    while True:
+        # terminal pass: once the next ring's disk would wrap the
+        # cylinder (2r+1 > n) a shell per query costs ~grid-size rows —
+        # the remaining (rare by now) queries instead take one exact
+        # cross-join against the tile table, the distributed twin of
+        # knn_join's broadcast straggler pass. Complete by
+        # construction, so the partial ring candidates are dropped.
+        if rounds >= max_rounds - 1 or 2 * r_cur + 1 > n_grid:
+            cand = _dist_cand(
+                active.select(
+                    "query_id",
+                    F.col("lon").alias("qlon"),
+                    F.col("lat").alias("qlat"),
+                    "k",
+                ).crossJoin(tiles_c.select("image_id", "lon", "lat"))
+            )
+            finalized.append(
+                cand.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= F.col("k"))
+                .drop("rank")
+            )
+            break
+        shell = active.select(
+            "query_id",
+            F.col("lon").alias("qlon"),
+            F.col("lat").alias("qlat"),
+            "k",
+            F.explode(_shell_udf(res, r_prev, r_cur)(F.col("qcell"))).alias("cell"),
+        )
+        # with 2r+1 <= n (terminal pass excludes the wrap regime) the
+        # cylinder-metric shells of successive rounds are disjoint, so
+        # no (query, tile) pair can enter the pool twice — no dedup
+        cand = _dist_cand(shell.join(tiles_c, "cell"))
+        pool = cand if topk is None else topk.unionByName(cand)
+        topk = (
+            pool.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= F.col("k"))
+            .drop("rank")
+            .persist()
+        )
+        persisted.append(topk)
+
+        # distributed finalization test: a query is done when it holds
+        # >= k candidates whose k-th distance beats the bound on
+        # anything outside the explored disk (column math only; the
+        # driver sees ONE scalar per round — the active count)
+        qdone = (
+            topk.groupBy("query_id")
+            .agg(
+                F.count("*").alias("cnt"),
+                F.max("dist_km").alias("kth"),
+                F.first("qlat").alias("qlat"),
+                F.first("k").alias("kk"),
+            )
+            .where(
+                (F.col("cnt") >= F.col("kk"))
+                & (F.col("kth") <= _bound_km_col(F.col("qlat"), res, r_cur))
+            )
+            .select("query_id")
+        )
+        finalized.append(topk.join(qdone, "query_id", "left_semi"))
+        next_active = active.join(qdone, "query_id", "left_anti").persist()
+        persisted.append(next_active)
+        n_active = next_active.count()
+        topk = topk.join(qdone, "query_id", "left_anti")
+        active = next_active
+        if n_active == 0:
+            break
+        rounds += 1
+        r_prev, r_cur = r_cur, min(r_cur * 3, n_grid)
+
+    out = finalized[0]
+    for f in finalized[1:]:
+        out = out.unionByName(f)
+    result = (
+        out.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "image_id", "dist_km")
+        .orderBy("query_id", "rank")
+    )
+    from gelos_spark.plans.materialize import finalize
+
+    return finalize(result, checkpoint, caches=[tiles_c, *persisted])

@@ -86,3 +86,67 @@ def test_knn_string_query_ids(spark):
         ).toPandas()
         assert got["query_id"].str.startswith("q").all()
         assert len(got) == 40
+
+
+# ------------------------------- distributed (corpus-sized) query path
+
+
+def _sorted_rows(df):
+    return sorted((r.query_id, r.rank, r.image_id, round(r.dist_km, 9)) for r in df.collect())
+
+
+def test_knn_distributed_identical_to_driver_path(spark):
+    from gelos_spark.operators.knn_join import knn_join_distributed
+
+    tiles = synth.tracker_df(spark, 2000, seed=42)
+    queries = synth.query_df(spark, 24, 2000, seed=42, k=6)
+    a = knn_join(spark, tiles, queries, n_tiles_hint=2000, brute_force_pairs=0)
+    b = knn_join_distributed(spark, tiles, queries, n_tiles_hint=2000)
+    assert _sorted_rows(a) == _sorted_rows(b)
+
+
+def test_knn_distributed_desert_and_small_population(spark):
+    """Queries far from every tile must fall into the terminal
+    cross-join pass and still return the exact top-k; k beyond the
+    population returns all tiles ranked."""
+    from gelos_spark.operators.knn_join import knn_join_distributed
+
+    tiles = synth.tracker_df(spark, 40, seed=3)
+    qpdf = pd.DataFrame(
+        {
+            "query_id": [0, 1],
+            "lon": [-179.5, 12.0],
+            "lat": [-54.0, 50.0],
+            "k": [50, 3],
+        }
+    )
+    queries = spark.createDataFrame(qpdf, "query_id long, lon double, lat double, k int")
+    a = knn_join(spark, tiles, qpdf, n_tiles_hint=40)
+    b = knn_join_distributed(spark, tiles, queries, n_tiles_hint=40)
+    assert _sorted_rows(a) == _sorted_rows(b)
+    got = {r.query_id: r for r in b.groupBy("query_id").count().collect()}
+    assert got[0]["count"] == 40  # k=50 > population -> all ranked
+
+
+def test_knn_distributed_checkpoint_false_composable(spark):
+    from gelos_spark.operators.knn_join import knn_join_distributed
+
+    tiles = synth.tracker_df(spark, 500, seed=9)
+    queries = synth.query_df(spark, 8, 500, seed=9, k=4)
+    b = knn_join_distributed(
+        spark, tiles, queries, n_tiles_hint=500, checkpoint=False
+    )
+    plan = b._jdf.queryExecution().optimizedPlan().toString()
+    assert "ExistingRDD" not in plan
+    a = knn_join_distributed(spark, tiles, queries, n_tiles_hint=500)
+    assert _sorted_rows(a) == _sorted_rows(b)
+
+
+def test_knn_distributed_empty_queries(spark):
+    from gelos_spark.operators.knn_join import knn_join_distributed
+
+    tiles = synth.tracker_df(spark, 100, seed=2)
+    queries = spark.createDataFrame(
+        [], "query_id long, lon double, lat double, k int"
+    )
+    assert knn_join_distributed(spark, tiles, queries, n_tiles_hint=100).count() == 0
