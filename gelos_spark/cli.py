@@ -47,7 +47,15 @@ def cmd_run(args: argparse.Namespace) -> int:
             conf = cfg.load_config(str(p))
             overrides = {}
             if args.root:
-                overrides["root"] = args.root
+                # a config DIRECTORY under one override root gets a
+                # sub-root per config: sharing one root would let
+                # same-named stages from different configs overwrite
+                # each other's tables while each config's own done
+                # markers still claim the stage is complete (a resumed
+                # run would then read the OTHER config's data)
+                overrides["root"] = (
+                    args.root if len(paths) == 1 else f"{args.root}/{p.stem}"
+                )
             if args.run_id:
                 overrides["run_id"] = args.run_id
             pipe = cfg.build_pipeline(spark, conf, **overrides)

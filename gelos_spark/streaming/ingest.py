@@ -116,15 +116,19 @@ def running_cell_stats(stream: DataFrame, res: int = 16, agg_res: int = 6) -> Da
         n = 0
         lo = hi = None
         for pdf in pdf_iter:
+            if len(pdf) == 0:  # empty Arrow chunk: min()/max() give NaT
+                continue
             n += len(pdf)
             b_lo, b_hi = pdf["ts"].min(), pdf["ts"].max()
             lo = b_lo if lo is None or b_lo < lo else lo
             hi = b_hi if hi is None or b_hi > hi else hi
+        if n == 0 and not state.exists:
+            return  # nothing observed for this key yet
         if state.exists:
             p_n, p_lo, p_hi = state.get
             n += p_n
-            lo = min(lo, p_lo)
-            hi = max(hi, p_hi)
+            lo = p_lo if lo is None else min(lo, p_lo)
+            hi = p_hi if hi is None else max(hi, p_hi)
         state.update((n, lo, hi))
         yield pd.DataFrame(
             {"cell": [key[0]], "n_tiles": [n], "first_ts": [lo], "last_ts": [hi]}

@@ -82,3 +82,21 @@ def test_ops_lists_registry(capsys):
     out = capsys.readouterr().out.split()
     for name in ("synth_tracker", "cell_encode", "pip_join", "embed", "tsne"):
         assert name in out
+
+
+def test_root_override_with_config_dir_gets_subroots(spark, tmp_path, capsys):
+    """--root over a config DIR must give each config its own
+    sub-root: both configs here have a stage named 'tiles', and a
+    shared root would let b overwrite a's table while a's done marker
+    still claims completion."""
+    d = _write_confs(tmp_path)
+    rc = cli.main(
+        ["run", str(d), "--root", str(tmp_path / "shared"), "--keep-session"]
+    )
+    assert rc == 0
+    from gelos_spark.plans.checkpoint import Pipeline
+
+    pa = Pipeline(spark, str(tmp_path / "shared" / "a"), "cli_a")
+    pb = Pipeline(spark, str(tmp_path / "shared" / "b"), "cli_b")
+    assert pa.output("tiles").count() == 200  # a's data, not b's
+    assert pb.output("tiles").count() == 120
