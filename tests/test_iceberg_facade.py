@@ -1,0 +1,120 @@
+"""IcebergTable write-protocol unit tests (tables/iceberg.py).
+
+No Iceberg runtime jar exists offline, so the real catalog path cannot
+execute — these tests pin the PROTOCOL instead by recording the
+DataFrameWriterV2 calls: every writer must tag rows with the
+_partition label column, the table must be created PARTITIONED BY it,
+overwrite_partition must issue a targeted overwrite(condition) on the
+label (the round-3 advice bug replaced the whole unpartitioned table
+via overwritePartitions), and reads must drop the bookkeeping column.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import DataFrame
+
+from gelos_spark.tables import iceberg as ice
+
+
+class _WriterRecorder:
+    def __init__(self, log: list, df: DataFrame):
+        self.log = log
+        self.df = df
+        self._partitioned_by = None
+
+    def partitionedBy(self, col, *cols):
+        self._partitioned_by = str(col)
+        return self
+
+    def create(self):
+        self.log.append(("create", self._partitioned_by, _tags(self.df)))
+
+    def append(self):
+        self.log.append(("append", None, _tags(self.df)))
+
+    def overwrite(self, cond):
+        self.log.append(("overwrite", str(cond), _tags(self.df)))
+
+    def overwritePartitions(self):
+        self.log.append(("overwritePartitions", None, _tags(self.df)))
+
+
+def _tags(df: DataFrame) -> list:
+    if ice.PARTITION_COL not in df.columns:
+        return ["<missing _partition>"]
+    return sorted(
+        {r[0] for r in df.select(ice.PARTITION_COL).distinct().collect()}
+    )
+
+
+@pytest.fixture
+def recording_table(spark, monkeypatch):
+    log: list = []
+    # patch the CONCRETE DataFrame class (pyspark 4's classic subclass
+    # overrides writeTo, so patching the pyspark.sql.DataFrame base
+    # alone would be shadowed)
+    concrete = type(spark.range(1))
+    monkeypatch.setattr(
+        concrete, "writeTo", lambda self, ident: _WriterRecorder(log, self)
+    )
+    t = ice.IcebergTable(spark, "unit_test_tbl")
+    exists = {"v": False}
+    monkeypatch.setattr(t, "_exists", lambda: exists["v"])
+    monkeypatch.setattr(t, "current_snapshot_id", lambda: 1)
+    return t, log, exists
+
+
+def test_append_tags_and_creates_partitioned(spark, recording_table):
+    t, log, exists = recording_table
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    t.append(df, partition="stage1")
+    assert log[-1] == ("create", f"Column<'{ice.PARTITION_COL}'>", ["stage1"])
+    exists["v"] = True
+    t.append(df, partition="stage2")
+    assert log[-1] == ("append", None, ["stage2"])
+
+
+def test_overwrite_partition_targets_only_its_label(spark, recording_table):
+    t, log, exists = recording_table
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    # fresh table: creates (partitioned) instead of failing
+    t.overwrite_partition(df, partition="run1/stage")
+    assert log[-1][0] == "create"
+    exists["v"] = True
+    t.overwrite_partition(df, partition="run1/stage")
+    op, cond, tags = log[-1]
+    assert op == "overwrite"  # targeted, NOT overwritePartitions
+    assert ice.PARTITION_COL in cond and "run1/stage" in cond
+    assert tags == ["run1/stage"]
+
+
+def test_full_overwrite_and_never_untagged(spark, recording_table):
+    t, log, exists = recording_table
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    exists["v"] = True
+    t.overwrite(df)  # no partition -> null label, still tagged column
+    op, cond, tags = log[-1]
+    assert op == "overwrite" and tags == [None]
+    assert all("<missing _partition>" not in rec[2] for rec in log)
+
+
+def test_read_drops_partition_col(spark, monkeypatch):
+    t = ice.IcebergTable(spark, "unit_test_read")
+    src = spark.createDataFrame(
+        [(1, "a", "p0")], f"id long, v string, {ice.PARTITION_COL} string"
+    )
+
+    class _Reader:
+        def option(self, *a):
+            return self
+
+        def table(self, ident):
+            return src
+
+    monkeypatch.setattr(
+        type(spark), "read", property(lambda self: _Reader())
+    )
+    out = t.read()
+    assert ice.PARTITION_COL not in out.columns
+    assert out.columns == ["id", "v"]
