@@ -1473,6 +1473,37 @@ def _fmt_latlon(spark, sf_dir):
     )
 
 
+@_q(
+    "location_encode",
+    # G2's second encoder (lat first half, lon second — reference
+    # models/prithvi_eo_v2.py:203-229), same dim-8 omega layout as
+    # temporal_encode; past-window, verified by scripts/check_oracle.py
+    "WITH e AS (SELECT image_id, lat, lon FROM ("
+    + _points_sql("customer", "c_custkey")
+    + ") p WHERE image_id LIKE '%0'), "
+    "u AS (SELECT image_id, unnest(range(0, 8)) AS pos, lat, lon FROM e) "
+    "SELECT image_id, CAST(pos AS BIGINT) AS pos, round(CASE pos "
+    "WHEN 0 THEN sin(lat) WHEN 1 THEN sin(lat * 0.01) "
+    "WHEN 2 THEN cos(lat) WHEN 3 THEN cos(lat * 0.01) "
+    "WHEN 4 THEN sin(lon) WHEN 5 THEN sin(lon * 0.01) "
+    "WHEN 6 THEN cos(lon) WHEN 7 THEN cos(lon * 0.01) END, 6) AS val FROM u",
+)
+def _location_encode(spark, sf_dir):
+    from gelos_spark.functions.encoders import location_encode_col
+
+    (customer,) = _tables(spark, sf_dir, "customer")
+    pts = _points_df(customer, "c_custkey").where(F.col("image_id").endswith("0"))
+    sel = pts.select(
+        "image_id", location_encode_col(F.col("lat"), F.col("lon"), 8).alias("emb")
+    )
+    e = sel.select("image_id", F.posexplode("emb").alias("pos", "val"))
+    return e.select(
+        "image_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.round(F.col("val"), 6).alias("val"),
+    )
+
+
 @_q("scan_images_decode")
 def _scan_images_decode(spark, sf_dir):
     # S2: binary payload scan + vectorized decode (no DuckDB analog —
