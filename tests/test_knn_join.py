@@ -150,3 +150,18 @@ def test_knn_distributed_empty_queries(spark):
         [], "query_id long, lon double, lat double, k int"
     )
     assert knn_join_distributed(spark, tiles, queries, n_tiles_hint=100).count() == 0
+
+
+def test_knn_distributed_multi_round_finalization(spark, monkeypatch):
+    """Force several ring rounds (initial radius pinned to 1) so
+    queries finalize across DIFFERENT rounds via the column-math bound
+    — exercising the per-round left_semi/left_anti splitting — and the
+    result still matches the driver-resident path exactly."""
+    from gelos_spark.operators import knn_join as kj
+
+    monkeypatch.setattr(kj, "_initial_radius", lambda *a, **k: 1)
+    tiles = synth.tracker_df(spark, 3000, seed=21)
+    queries = synth.query_df(spark, 16, 3000, seed=21, k=5)
+    a = kj.knn_join(spark, tiles, queries, n_tiles_hint=3000, brute_force_pairs=0)
+    b = kj.knn_join_distributed(spark, tiles, queries, n_tiles_hint=3000)
+    assert _sorted_rows(a) == _sorted_rows(b)

@@ -126,3 +126,31 @@ def test_unwrap_ring_properties(lon_jump, width):
     span = out[:, 0].max() - out[:, 0].min()
     assert np.isclose(span, w)
     assert (out[:, 0] >= 0.0).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    res=st.integers(min_value=3, max_value=8),
+    cx=st.integers(min_value=0, max_value=255),
+    cy=st.integers(min_value=0, max_value=255),
+    r1=st.integers(min_value=1, max_value=20),
+    dr=st.integers(min_value=1, max_value=10),
+)
+def test_shell_batches_disjoint_below_wrap(res, cx, cy, r1, dr):
+    """knn_join_distributed's no-dedup argument: while the larger
+    disk still satisfies 2*r+1 <= n (the terminal pass excludes the
+    wrap regime), successive (r0, r1] shells of the same cell are
+    DISJOINT and their union is exactly the (r0_prev, r2] shell."""
+    n = 1 << res
+    r2 = r1 + dr
+    if 2 * r2 + 1 > n:
+        return  # wrap regime — excluded by the operator's terminal pass
+    cell = np.array([cells.xy_to_cell(np.array([cx % n]), np.array([cy % n]))[0]])
+    _, s1 = cells.cell_shell_batch(cell, res, -1, r1)
+    _, s2 = cells.cell_shell_batch(cell, res, r1, r2)
+    set1, set2 = set(s1.tolist()), set(s2.tolist())
+    assert not (set1 & set2), "successive shells must be disjoint below wrap"
+    _, s_all = cells.cell_shell_batch(cell, res, -1, r2)
+    assert set1 | set2 == set(s_all.tolist())
+    # and within one shell no cell appears twice (no wrap aliasing)
+    assert len(s2) == len(set2)
