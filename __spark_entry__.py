@@ -1504,6 +1504,47 @@ def _location_encode(spark, sf_dir):
     )
 
 
+@_q(
+    "hamming_pairs",
+    # generic banded-hamming join (operators/dedup.hamming_hash_pairs,
+    # the engine under phash_dup_pairs / simhash_pairs) vs a DuckDB
+    # O(n^2) brute force over a derived fingerprint with planted
+    # near-dups: groups of 8 docs share high bits, one-hot low bits ->
+    # in-group pairs at hamming 2. Past-window; local-gate verified.
+    "WITH h AS (SELECT doc_id, (doc_id // 8) * 256 + (1 << (doc_id % 8)) AS fp "
+    "FROM documents) "
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming "
+    "FROM h a JOIN h b ON a.doc_id < b.doc_id "
+    "AND bit_count(xor(a.fp, b.fp)) <= 2 ORDER BY id_a, id_b",
+)
+def _hamming_pairs(spark, sf_dir):
+    (docs,) = _tables(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        F.expr(
+            "(doc_id div 8) * 256 + CAST(shiftleft(1, CAST(doc_id % 8 AS INT)) AS BIGINT)"
+        ).alias("fp"),
+    )
+    return dedup.hamming_hash_pairs(fp, "doc_id", "fp", max_hamming=2)
+
+
+@_q("phash_dup_pairs")
+def _phash_dup_pairs(spark, sf_dir):
+    # image near-dup by perceptual hash over the input_hint images
+    # schema; rows-only (the synthetic images table is engine-side) —
+    # brute-force equality is pytest's job (tests/test_dedup_kernels.py)
+    from gelos_spark.operators import images as imops
+    from gelos_spark.sources import synth
+
+    imgs = synth.images_df(spark, 192, w=32, seed=42, parts=8)
+    near = imops.perturb_bands(imgs, bands=(2,), alpha=0.1, seed=3).select(
+        F.concat(F.col("image_id"), F.lit("_p")).alias("image_id"), "phash"
+    )
+    both = imgs.select("image_id", "phash").unionByName(near)
+    return dedup.phash_dup_pairs(both, max_hamming=6)
+
+
 @_q("scan_images_decode")
 def _scan_images_decode(spark, sf_dir):
     # S2: binary payload scan + vectorized decode (no DuckDB analog —

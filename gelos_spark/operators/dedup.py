@@ -353,23 +353,26 @@ def minhash_lsh_pairs(
     return finalize(out, checkpoint, caches=[sigs])
 
 
-# ----------------------------------------------------------- simhash
+# ------------------------------------------ banded hamming (simhash,
+# phash, any 64-bit fingerprint)
 
-def simhash_pairs(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+def hamming_hash_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
     max_hamming: int = 3,
-    seed: int = 42,
 ) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) <= max_hamming via the
-    pigeonhole band trick: split 64 bits into max_hamming+1 bands; any
-    qualifying pair collides on at least one full band -> equi-join on
-    (band, band_bits), verify exact Hamming with bit_count (JVM)."""
+    """Pairs with Hamming(hash) <= max_hamming over ANY int64
+    fingerprint column, via the pigeonhole band trick: split 64 bits
+    into max_hamming+1 bands; a qualifying pair differs in at most
+    max_hamming bits, so it collides on at least one FULL band ->
+    equi-join on (band, band_bits), then exact Hamming verify with
+    JVM ``bit_count``. No all-pairs path: candidate volume is bounded
+    by band-bucket occupancy, the same scale shape as MinHash banding.
+    Returns (id_a, id_b, hamming) with id_a < id_b, ordered."""
     nb = max_hamming + 1
     width = 64 // nb
-    src = _spread(docs)
-    sh = src.select(F.col(id_col).alias("id"), simhash_udf(seed)(F.col(text_col)).alias("sh"))
+    sh = df.select(F.col(id_col).alias("id"), F.col(hash_col).cast("long").alias("sh"))
     bands = []
     for b in range(nb):
         bands.append(
@@ -396,6 +399,37 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .orderBy("id_a", "id_b")
     )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash(text)) <= max_hamming: the
+    vectorized simhash kernel feeds the generic banded join."""
+    src = _spread(docs)
+    sh = src.select(
+        F.col(id_col).alias("id"), simhash_udf(seed)(F.col(text_col)).alias("sh")
+    )
+    return hamming_hash_pairs(sh, "id", "sh", max_hamming)
+
+
+def phash_dup_pairs(
+    images: DataFrame,
+    max_hamming: int = 4,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+) -> DataFrame:
+    """Image near-dup pairs by PERCEPTUAL hash (the images table's
+    ``phash`` column — input_hint schema `(image_id, bytes, w, h,
+    fmt, caption, phash)`): two tiles whose 64-bit DCT phashes differ
+    in <= max_hamming bits are visual near-duplicates. Runs the same
+    banded pigeonhole join as simhash — the pixel payload is never
+    touched, so dedup over 10^12 images scans only (id, phash)."""
+    return hamming_hash_pairs(images, id_col, phash_col, max_hamming)
 
 
 # ---------------------------------------------------- n-gram jaccard

@@ -7,6 +7,8 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
+from pyspark.sql import functions as F
+
 from gelos_spark.operators import dedup
 
 CASES = [
@@ -119,3 +121,64 @@ def test_simhash_pairs_matches_bruteforce(spark):
                 exp[(a, b)] = h
     assert got == exp
     assert len(exp) > 0
+
+
+def test_hamming_hash_pairs_matches_bruteforce(spark):
+    """Generic banded hamming join == O(n^2) brute force for planted
+    64-bit fingerprints (incl. negative int64 hashes — phash values
+    use the full signed range)."""
+    rng = np.random.default_rng(5)
+    base = rng.integers(-(2**63), 2**63 - 1, size=30, dtype=np.int64)
+    rows = []
+    for i, b in enumerate(base):
+        rows.append((f"i{i:03d}_0", int(b)))
+        # plant a near-dup: flip `i % 6` bits
+        flipped = int(b)
+        for j in range(i % 6):
+            flipped ^= 1 << ((j * 11 + i) % 64)
+        rows.append((f"i{i:03d}_1", np.int64(np.uint64(flipped) & np.uint64(2**64 - 1)).item()
+                     if flipped > 2**63 - 1 or flipped < -(2**63) else flipped))
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    k = 4
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.phash_dup_pairs(df, max_hamming=k).collect()
+    }
+    exp = {}
+    for (ia, ha) in rows:
+        for (ib, hb) in rows:
+            if ia < ib:
+                d = bin((ha ^ hb) & (2**64 - 1)).count("1")
+                if d <= k:
+                    exp[(ia, ib)] = d
+    assert got == exp
+
+
+def test_phash_dup_pairs_on_synth_images(spark):
+    """Integration over the actual images table: a resized copy keeps
+    a near-identical phash, so every (original, near-copy) pair with
+    Hamming <= 6 found by brute force is found by the banded join."""
+    from gelos_spark.operators import images as imops
+    from gelos_spark.sources import synth
+
+    imgs = synth.images_df(spark, 48, w=32, seed=11, parts=4)
+    # perturbing one band barely moves the DCT phash -> planted near-dups
+    near = imops.perturb_bands(imgs, bands=(2,), alpha=0.1, seed=3).select(
+        F.concat(F.col("image_id"), F.lit("_p")).alias("image_id"), "phash"
+    )
+    both = imgs.select("image_id", "phash").unionByName(near)
+    rows = [(r.image_id, r.phash) for r in both.collect()]
+    k = 6
+    exp = {
+        tuple(sorted((ia, ib)))
+        for ia, ha in rows
+        for ib, hb in rows
+        if ia < ib and bin((ha ^ hb) & (2**64 - 1)).count("1") <= k
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.phash_dup_pairs(both, max_hamming=k).collect()
+    }
+    assert got == exp
+    # sanity: the planted pairs actually exist (phash is perturbation-stable)
+    assert any(a + "_p" == b for a, b in got)
