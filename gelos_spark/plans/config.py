@@ -274,6 +274,105 @@ def _op_tsne(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
     return spark.createDataFrame(pdf)
 
 
+# ------------------- sources + training-data family as config ops
+# (round 4): the declarative surface previously reached only the
+# geospatial/model chain; a pipeline author could not read an
+# external table or run the dedup / text / similarity family from
+# YAML. Thin adapters only — every kernel lives in its module.
+
+
+@op("read_parquet", required=("path",))
+def _op_read_parquet(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
+    df = spark.read.parquet(conf["path"])
+    cols = conf.get("columns")
+    return df.select(*cols) if cols else df
+
+
+@op("read_tracker", required=("path",))
+def _op_read_tracker(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
+    from gelos_spark.sources.tracker import read_tracker
+
+    return read_tracker(spark, conf["path"], schema=conf.get("schema"))
+
+
+@op("dedup_exact", required=("key_cols",), needs_input=True)
+def _op_dedup_exact(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
+    from gelos_spark.operators import dedup
+
+    return dedup.dedup_exact(
+        conf["__input__"],
+        key_cols=list(conf["key_cols"]),
+        id_col=conf.get("id_col", "doc_id"),
+    )
+
+
+@op("minhash_pairs", needs_input=True)
+def _op_minhash_pairs(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
+    from gelos_spark.operators import dedup
+
+    return dedup.minhash_lsh_pairs(
+        conf["__input__"],
+        id_col=conf.get("id_col", "doc_id"),
+        text_col=conf.get("text_col", "text"),
+        num_hashes=int(conf.get("num_hashes", 128)),
+        bands=int(conf.get("bands", 32)),
+        shingle_k=int(conf.get("shingle_k", 5)),
+        seed=int(conf.get("seed", 42)),
+        min_jaccard=float(conf.get("min_jaccard", 0.5)),
+    )
+
+
+@op("phash_pairs", needs_input=True)
+def _op_phash_pairs(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
+    from gelos_spark.operators import dedup
+
+    return dedup.phash_dup_pairs(
+        conf["__input__"],
+        max_hamming=int(conf.get("max_hamming", 4)),
+        id_col=conf.get("id_col", "image_id"),
+        phash_col=conf.get("phash_col", "phash"),
+    )
+
+
+@op("text_features", needs_input=True)
+def _op_text_features(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
+    """Attach the text-analysis family (language id, quality score,
+    token count, fingerprint) as columns — pure column expressions,
+    scan-speed."""
+    from gelos_spark.functions import text as tx
+
+    col = conf.get("text_col", "text")
+    return (
+        conf["__input__"]
+        .withColumn("lang", tx.langid_col(F.col(col)))
+        .withColumn("quality", tx.quality_score_col(F.col(col)))
+        .withColumn("n_tokens", tx.token_count_col(F.col(col)))
+        .withColumn("fingerprint", tx.fingerprint_col(F.col(col)))
+    )
+
+
+@op("knn", required=("queries",), needs_input=True)
+def _op_knn(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
+    """kNN retrieval stage: `queries` is a list of [query_id, lon,
+    lat, k] rows (config-embedded request set — the driver-resident
+    path; corpus-sized query tables should call knn_join_distributed
+    from code)."""
+    import pandas as pd
+
+    from gelos_spark.operators.knn_join import knn_join
+
+    q = pd.DataFrame(
+        conf["queries"], columns=["query_id", "lon", "lat", "k"]
+    )
+    return knn_join(
+        spark,
+        conf["__input__"],
+        q,
+        res=conf.get("res"),
+        n_tiles_hint=conf.get("n_tiles_hint"),
+    )
+
+
 # ----------------------- bucketed co-located joins (SURVEY.md §4):
 # the recurring fact-to-fact join on ``cell`` (tiles x per-cell
 # stats) shuffles BOTH corpora every run unless the tables are

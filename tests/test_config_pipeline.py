@@ -206,3 +206,52 @@ def test_pip_join_op_reads_geojson_aois(spark, tmp_path):
     pipe = cfg.build_pipeline(spark, conf, root=str(tmp_path / "gj"))
     # the box covers the entire synthetic coordinate domain
     assert pipe.output("assign").count() == 400
+
+
+def test_training_data_family_as_config_pipeline(spark, tmp_path):
+    """Round-4 declarative surface: read a real parquet table, attach
+    text features, run exact + MinHash dedup and a kNN stage — all
+    from one config, all lineage-recorded."""
+    from gelos_spark.plans import config as cfg
+
+    conf = {
+        "run_id": "tdf",
+        "stages": [
+            {
+                "name": "docs",
+                "op": "read_parquet",
+                "args": {"path": "/root/testdata/sf0.001/documents.parquet"},
+            },
+            {"name": "feats", "op": "text_features", "input": "docs"},
+            {
+                "name": "uniq",
+                "op": "dedup_exact",
+                "input": "feats",
+                "args": {"key_cols": ["fingerprint"], "id_col": "doc_id"},
+            },
+            {
+                "name": "near",
+                "op": "minhash_pairs",
+                "input": "docs",
+                "args": {"num_hashes": 32, "bands": 8, "min_jaccard": 0.2},
+            },
+            {"name": "tiles", "op": "synth_tracker", "args": {"n": 400, "seed": 3}},
+            {
+                "name": "knn",
+                "op": "knn",
+                "input": "tiles",
+                "args": {
+                    "queries": [[0, 10.0, 10.0, 3], [1, -20.0, 5.0, 3]],
+                    "n_tiles_hint": 400,
+                },
+            },
+        ],
+    }
+    pipe = cfg.build_pipeline(spark, conf, root=str(tmp_path / "run"))
+    feats = pipe.output("feats")
+    assert {"lang", "quality", "n_tokens", "fingerprint"} <= set(feats.columns)
+    n_docs = pipe.output("docs").count()
+    assert 0 < pipe.output("uniq").count() <= n_docs
+    assert pipe.output("knn").count() == 6
+    done = pipe.log.lineage("tdf").where("status = 'done'").count()
+    assert done == 6
