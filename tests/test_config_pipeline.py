@@ -32,6 +32,7 @@ def test_documented_config_round_trips(spark, tmp_path):
     # the checked-in flagship config parses and validates as-is
     conf = cfg.load_config("jobs/pip_pipeline.yaml")
     cfg.validate_config(conf)
+    cfg.validate_config(cfg.load_config("jobs/training_data.yaml"))
 
     # a small instance of the same shape executes end-to-end
     conf = yaml.safe_load(PIPE_YAML)
