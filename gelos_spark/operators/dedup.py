@@ -407,14 +407,28 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     seed: int = 42,
+    checkpoint: bool | str = True,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash(text)) <= max_hamming: the
-    vectorized simhash kernel feeds the generic banded join."""
+    vectorized simhash kernel feeds the generic banded join.
+
+    The (id, simhash) signature frame is persisted across the banded
+    self-join's two aliases — without it Catalyst plans two scans and
+    the simhash pandas-UDF hashes the full corpus twice (the same
+    signature-cache shape as ``minhash_lsh_pairs``). ``checkpoint``
+    routes through plans/materialize.finalize exactly like minhash:
+    True (default) eagerly localCheckpoints the pairs and releases the
+    cache; "reliable" uses a durable ``DataFrame.checkpoint()``;
+    False returns the lazy plan (the cache then stays persisted —
+    caller-owned lifetime)."""
     src = _spread(docs)
     sh = src.select(
         F.col(id_col).alias("id"), simhash_udf(seed)(F.col(text_col)).alias("sh")
-    )
-    return hamming_hash_pairs(sh, "id", "sh", max_hamming)
+    ).persist()
+    out = hamming_hash_pairs(sh, "id", "sh", max_hamming)
+    from gelos_spark.plans.materialize import finalize
+
+    return finalize(out, checkpoint, caches=[sh])
 
 
 def phash_dup_pairs(

@@ -129,6 +129,7 @@ def knn_join(
     max_rounds: int = 3,
     brute_force_pairs: int = 2_000_000,
     checkpoint: bool | str = True,
+    max_queries: int | None = 100_000,
 ) -> DataFrame:
     """k nearest tiles per query point.
 
@@ -136,6 +137,18 @@ def knn_join(
     a Spark or pandas DataFrame (the query side is driver-resident).
     Returns (query_id, rank, image_id, dist_km), ordered by
     (query_id, rank).
+
+    A Spark ``queries`` frame with more than ``max_queries`` rows is
+    NOT collected: the call auto-dispatches to
+    :func:`knn_join_distributed` (bit-identical results; the query
+    side then stays distributed end-to-end), so a corpus-sized query
+    table can never silently OOM the driver here — the same guard
+    contract as ``brute_force_topk(max_queries=)``
+    (operators/similarity.py). The probe is one cheap
+    ``limit(n+1).count()`` action. ``max_queries=None`` skips the
+    probe (caller asserts the frame is request-sized);
+    ``brute_force_pairs``/``max_rounds`` apply only to the
+    driver-resident path.
 
     ``checkpoint``: materialization policy for the returned frame
     (plans/materialize.finalize) — True = eager localCheckpoint
@@ -158,6 +171,19 @@ def knn_join(
         n_hint = n_tiles_hint if n_tiles_hint is not None else tiles.count()
         res = default_res(n_hint)
     n_grid = 1 << res
+
+    if not isinstance(queries, pd.DataFrame) and max_queries is not None:
+        if queries.limit(max_queries + 1).count() > max_queries:
+            # corpus-sized query table: never collect it — route to the
+            # fully-distributed twin (same semantics, same output order)
+            return knn_join_distributed(
+                spark,
+                tiles,
+                queries,
+                res=res,
+                n_tiles_hint=n_tiles_hint,
+                checkpoint=checkpoint,
+            )
 
     q = queries if isinstance(queries, pd.DataFrame) else queries.toPandas()
     q = q[["query_id", "lon", "lat", "k"]].copy()

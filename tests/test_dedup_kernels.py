@@ -182,3 +182,27 @@ def test_phash_dup_pairs_on_synth_images(spark):
     assert got == exp
     # sanity: the planted pairs actually exist (phash is perturbation-stable)
     assert any(a + "_p" == b for a, b in got)
+
+
+def test_simhash_signature_cached_across_self_join(spark):
+    """The simhash pandas-UDF must hash the corpus ONCE: the signature
+    frame is persisted, so both aliases of the banded self-join read
+    the same InMemoryRelation (the minhash plan shape) instead of
+    planning two UDF scans. checkpoint=False exposes the compute plan
+    for auditing; results are unchanged either way."""
+    texts = [
+        ("c%03d" % i, ("kappa lambda mu %d " % (i % 4)) * 3) for i in range(60)
+    ]
+    docs = spark.createDataFrame(texts, "doc_id string, text string")
+    lazy = dedup.simhash_pairs(docs, max_hamming=6, checkpoint=False)
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
+    # both join sides scan the cache; every UDF eval node lives inside
+    # a cached relation (each InMemoryTableScan prints its cached
+    # child plan, so ArrowEvalPython appears once per relation print —
+    # an uncached regression would show ArrowEvalPython with ZERO
+    # InMemoryRelation nodes)
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert plan.count("ArrowEvalPython") <= plan.count("InMemoryRelation"), plan
+    eager = dedup.simhash_pairs(docs, max_hamming=6)
+    assert sorted(map(tuple, lazy.collect())) == sorted(map(tuple, eager.collect()))
+    spark.catalog.clearCache()

@@ -165,3 +165,32 @@ def test_knn_distributed_multi_round_finalization(spark, monkeypatch):
     a = kj.knn_join(spark, tiles, queries, n_tiles_hint=3000, brute_force_pairs=0)
     b = kj.knn_join_distributed(spark, tiles, queries, n_tiles_hint=3000)
     assert _sorted_rows(a) == _sorted_rows(b)
+
+
+def test_knn_corpus_sized_queries_auto_dispatch(spark):
+    """A Spark query frame past max_queries must NEVER be collected to
+    the driver (the silent-OOM edge): knn_join probes with one
+    limit(n+1).count() and routes to knn_join_distributed, returning
+    rows identical to calling the distributed path directly."""
+    from gelos_spark.operators.knn_join import knn_join_distributed
+
+    tiles = synth.tracker_df(spark, 800, seed=9)
+    queries = synth.query_df(spark, 60, 800, seed=9, k=4)
+
+    def _boom(*a, **k):  # instance-level trap: dispatch must not collect
+        raise AssertionError("corpus-sized query frame reached toPandas()")
+
+    queries.toPandas = _boom
+    got = knn_join(spark, tiles, queries, n_tiles_hint=800, max_queries=50)
+    exp = knn_join_distributed(spark, tiles, queries, n_tiles_hint=800)
+    assert _sorted_rows(got) == _sorted_rows(exp)
+
+
+def test_knn_max_queries_none_skips_probe(spark):
+    """max_queries=None keeps the legacy contract: the caller asserts
+    the frame is request-sized and the driver-resident path runs."""
+    tiles = synth.tracker_df(spark, 400, seed=3)
+    queries = synth.query_df(spark, 12, 400, seed=3, k=3)
+    got = knn_join(spark, tiles, queries, n_tiles_hint=400, max_queries=None)
+    brute = knn_join(spark, tiles, queries, n_tiles_hint=400)
+    assert _sorted_rows(got) == _sorted_rows(brute)
