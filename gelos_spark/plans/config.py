@@ -319,6 +319,10 @@ def _op_minhash_pairs(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFr
         shingle_k=int(conf.get("shingle_k", 5)),
         seed=int(conf.get("seed", 42)),
         min_jaccard=float(conf.get("min_jaccard", 0.5)),
+        # materialization policy pass-through (plans/materialize): a
+        # config author can demand `checkpoint: reliable` so the pair
+        # set survives executor loss on a real cluster
+        checkpoint=conf.get("checkpoint", True),
     )
 
 
@@ -332,6 +336,42 @@ def _op_phash_pairs(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFram
         id_col=conf.get("id_col", "image_id"),
         phash_col=conf.get("phash_col", "phash"),
     )
+
+
+@op("perturb", needs_input=True)
+def _op_perturb(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
+    """F6 seeded band perturbation as a pipeline stage; ``id_suffix``
+    renames the perturbed copies so they can be unioned beside their
+    originals (the planted-near-dup fixture shape for phash dedup)."""
+    from gelos_spark.operators import images as imops
+
+    out = imops.perturb_bands(
+        conf["__input__"],
+        bands=tuple(conf.get("bands", [0])),
+        alpha=float(conf.get("alpha", 0.3)),
+        seed=int(conf.get("seed", 42)),
+    )
+    suffix = conf.get("id_suffix")
+    if suffix:
+        id_col = conf.get("id_col", "image_id")
+        out = out.withColumn(id_col, F.concat(F.col(id_col), F.lit(suffix)))
+    return out
+
+
+@op("union_stages", required=("others",), needs_input=True)
+def _op_union_stages(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
+    """Union the input stage with other COMMITTED stages' outputs by
+    column name (optional ``columns`` projection applied to every
+    side) — the DAG fan-in the single-``input`` wiring can't express."""
+    cols = conf.get("columns")
+
+    def proj(df: DataFrame) -> DataFrame:
+        return df.select(*cols) if cols else df
+
+    out = proj(conf["__input__"])
+    for name in conf["others"]:
+        out = out.unionByName(proj(pipe.output(name)))
+    return out
 
 
 @op("text_features", needs_input=True)
@@ -448,6 +488,12 @@ def validate_config(conf: dict) -> None:
         if _OP_NEEDS_INPUT.get(opname) and inp is None:
             raise ValueError(f"stage {name!r}: op {opname!r} needs an 'input' stage")
         args = st.get("args") or {}
+        if opname == "union_stages":
+            for ref in args.get("others") or []:
+                if ref not in seen:
+                    raise ValueError(
+                        f"stage {name!r} unions stage {ref!r} before it is defined"
+                    )
         missing = [k for k in _OP_REQUIRED.get(opname, ()) if k not in args]
         if missing:
             raise ValueError(

@@ -100,3 +100,39 @@ def test_root_override_with_config_dir_gets_subroots(spark, tmp_path, capsys):
     pb = Pipeline(spark, str(tmp_path / "shared" / "b"), "cli_b")
     assert pa.output("tiles").count() == 200  # a's data, not b's
     assert pb.output("tiles").count() == 120
+
+
+def test_shipped_training_data_config_runs_end_to_end(spark, tmp_path):
+    """The checked-in jobs/training_data.yaml (docs branch + round-5
+    image branch) must execute, not just validate: multimodal dedup
+    end-to-end — synth images -> decode-validate -> thumbnails ->
+    perturbed near-copies -> banded phash near-dup -> kNN retrieval —
+    with every stage lineage-committed and resume-skippable."""
+    root = str(tmp_path / "td")
+    assert cli.main(["run", "jobs/training_data.yaml", "--root", root,
+                     "--keep-session"]) == 0
+
+    from gelos_spark.plans.checkpoint import Pipeline
+
+    pipe = Pipeline(spark, root, "training_data_v1")
+    assert pipe.log.lineage("training_data_v1").where("status = 'done'").count() == 12
+
+    # image branch pins (seeded synth -> deterministic)
+    stats = pipe.output("img_stats").collect()
+    assert len(stats) == 64 and all(r.phash_ok for r in stats)
+    thumbs = pipe.output("thumbs").collect()
+    assert len(thumbs) == 64 and all(r.w == 16 and r.h == 16 for r in thumbs)
+    assert pipe.output("img_corpus").count() == 128
+    dups = {(r.id_a, r.id_b) for r in pipe.output("img_near_dups").collect()}
+    # 63 of the 64 planted (original, perturbed-copy) pairs stay within
+    # hamming 6 (one drifts past — deterministic with these seeds), and
+    # nothing else collides: every found pair IS a planted pair
+    planted = {(r.image_id, r.image_id + "_p") for r in pipe.output("imgs")
+               .select("image_id").collect()}
+    assert dups <= planted and len(dups) == 63
+    assert pipe.output("retrieval").count() == 6
+
+    # second invocation resume-skips: no duplicate lineage
+    assert cli.main(["run", "jobs/training_data.yaml", "--root", root,
+                     "--keep-session"]) == 0
+    assert pipe.log.lineage("training_data_v1").where("status = 'done'").count() == 12

@@ -256,3 +256,64 @@ def test_training_data_family_as_config_pipeline(spark, tmp_path):
     assert pipe.output("knn").count() == 6
     done = pipe.log.lineage("tdf").where("status = 'done'").count()
     assert done == 6
+
+
+def test_pipeline_kill_resume_chaos(spark, tmp_path, monkeypatch):
+    """SURVEY §5.5 chaos drill at pipeline level: a run that HARD-FAILS
+    mid-pipeline (op raises after earlier stages committed) must, on
+    re-invocation, lineage-skip the committed stages, run only the
+    failed one, and produce output identical to an uninterrupted run —
+    with the failing stage using checkpoint='reliable' against a real
+    checkpoint dir (the durable materialization a cluster needs to
+    survive executor loss). Previously resume-skip was only tested on
+    clean re-invocation."""
+    from gelos_spark.plans import config as cfg
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    conf = {
+        "run_id": "chaos",
+        "stages": [
+            {
+                "name": "docs",
+                "op": "read_parquet",
+                "args": {"path": "/root/testdata/sf0.001/documents.parquet"},
+            },
+            {"name": "feats", "op": "text_features", "input": "docs"},
+            {
+                "name": "near",
+                "op": "minhash_pairs",
+                "input": "docs",
+                "args": {
+                    "num_hashes": 32,
+                    "bands": 8,
+                    "min_jaccard": 0.2,
+                    "checkpoint": "reliable",
+                },
+            },
+        ],
+    }
+
+    # uninterrupted reference run
+    ref = cfg.build_pipeline(spark, conf, root=str(tmp_path / "ref"))
+    ref_rows = sorted(map(tuple, ref.output("near").collect()))
+    assert len(ref_rows) > 0
+
+    # chaos run: the near-dup op dies AFTER docs+feats committed
+    root = str(tmp_path / "chaos")
+    real_op = cfg._OPS["minhash_pairs"]
+
+    def _dying_op(sp, pipe, c):
+        raise RuntimeError("executor lost")  # simulated mid-pipeline kill
+
+    monkeypatch.setitem(cfg._OPS, "minhash_pairs", _dying_op)
+    with pytest.raises(RuntimeError, match="executor lost"):
+        cfg.build_pipeline(spark, conf, root=root)
+    monkeypatch.setitem(cfg._OPS, "minhash_pairs", real_op)
+
+    # re-invoke: stages 1-2 are lineage-skipped, only 'near' runs, and
+    # the durable checkpoint dir actually received RDD blocks
+    pipe = cfg.build_pipeline(spark, conf, root=root)
+    assert pipe.skipped == ["docs", "feats"]
+    assert pipe.executed == ["near"]
+    assert sorted(map(tuple, pipe.output("near").collect())) == ref_rows
+    assert any(p.is_file() for p in (tmp_path / "ckpt").rglob("*"))
