@@ -24,10 +24,13 @@ def _tiles_cells(spark, n=600, res=6):
     return t.withColumn("cell", cell_encode_col(F.col("lon"), F.col("lat"), res))
 
 
-def test_reliable_without_dir_raises(spark):
-    # must run BEFORE any test sets the session-wide checkpoint dir
-    if spark.sparkContext.getCheckpointDir() is not None:
-        pytest.skip("checkpoint dir already set earlier in this session")
+def test_reliable_without_dir_raises(spark, monkeypatch):
+    # other tests set the SESSION-wide checkpoint dir (it cannot be
+    # unset), so simulate the fresh-session state deterministically:
+    # finalize()'s guard probes getCheckpointDir(), which we pin to None
+    monkeypatch.setattr(
+        type(spark.sparkContext), "getCheckpointDir", lambda self: None
+    )
     tiles = synth.tracker_df(spark, 100, seed=3)
     q = synth.query_df(spark, 2, 100, seed=3, k=2)
     with pytest.raises(ValueError, match="setCheckpointDir"):

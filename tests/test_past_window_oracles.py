@@ -1,0 +1,66 @@
+"""The driver's correctness gate records only the first 50 registered
+queries; three oracle-backed queries live past that window
+(fmt_latlon, location_encode, hamming_pairs — see
+__spark_entry__.py's rows-only section). Their DuckDB-exactness was
+previously checked only when scripts/check_oracle.py was run by hand;
+this test runs the same compare (same canon, same oracle SQL) at
+sf0.001 inside the suite so the evidence regenerates every round.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import pathlib
+import sys
+
+import duckdb
+import pytest
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+_spec = importlib.util.spec_from_file_location(
+    "check_oracle", ROOT / "scripts" / "check_oracle.py"
+)
+check_oracle = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(check_oracle)
+
+SF_DIR = "/root/testdata/sf0.001"
+PAST_WINDOW_ORACLE_QUERIES = ["fmt_latlon", "location_encode", "hamming_pairs"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in check_oracle.TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def test_past_window_queries_have_oracles():
+    """The 3 names this file guards must still be registered past the
+    window WITH oracle SQL — if a future slot rotation renames one,
+    this fails loudly instead of silently un-checking it."""
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    window = list(qs)[:50]
+    for name in PAST_WINDOW_ORACLE_QUERIES:
+        assert name in qs and name in oracles
+        assert name not in window, f"{name} moved INTO the window; update this test"
+
+
+@pytest.mark.parametrize("name", PAST_WINDOW_ORACLE_QUERIES)
+def test_past_window_oracle_exact(spark, duck, name):
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    sdf = qs[name](spark, SF_DIR).toPandas()
+    odf = duck.execute(oracles[name]).fetchdf()
+    scols, srows = check_oracle.canon(sdf)
+    ocols, orows = check_oracle.canon(odf)
+    assert [c.lower() for c in scols] == [c.lower() for c in ocols]
+    assert len(srows) == len(orows) and len(srows) > 0
+    bad = [(a, b) for a, b in zip(srows, orows) if repr(a) != repr(b)]
+    assert not bad, f"{name}: {len(bad)}/{len(srows)} rows differ; first: {bad[0]}"
