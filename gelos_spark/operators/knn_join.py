@@ -144,9 +144,10 @@ def knn_join(
     side then stays distributed end-to-end), so a corpus-sized query
     table can never silently OOM the driver here — the same guard
     contract as ``brute_force_topk(max_queries=)``
-    (operators/similarity.py). The probe is one cheap
-    ``limit(n+1).count()`` action. ``max_queries=None`` skips the
-    probe (caller asserts the frame is request-sized);
+    (operators/similarity.py). The guard is folded into the one
+    collect this path needs anyway (``limit(n+1).toPandas()``), so it
+    costs ZERO extra Spark actions. ``max_queries=None`` skips the
+    guard (caller asserts the frame is request-sized);
     ``brute_force_pairs``/``max_rounds`` apply only to the
     driver-resident path.
 
@@ -172,10 +173,17 @@ def knn_join(
         res = default_res(n_hint)
     n_grid = 1 << res
 
-    if not isinstance(queries, pd.DataFrame) and max_queries is not None:
-        if queries.limit(max_queries + 1).count() > max_queries:
-            # corpus-sized query table: never collect it — route to the
-            # fully-distributed twin (same semantics, same output order)
+    if isinstance(queries, pd.DataFrame):
+        q = queries
+    elif max_queries is not None:
+        # guard folded into the one collect the path needs anyway: pull
+        # AT MOST max_queries+1 rows (zero extra Spark actions — a
+        # separate count() probe costs ~0.6s/call on this VM's
+        # per-action overhead) and dispatch on overflow
+        q = queries.limit(max_queries + 1).toPandas()
+        if len(q) > max_queries:
+            # corpus-sized query table: never collect it fully — route
+            # to the fully-distributed twin (same semantics and output)
             return knn_join_distributed(
                 spark,
                 tiles,
@@ -184,8 +192,8 @@ def knn_join(
                 n_tiles_hint=n_tiles_hint,
                 checkpoint=checkpoint,
             )
-
-    q = queries if isinstance(queries, pd.DataFrame) else queries.toPandas()
+    else:
+        q = queries.toPandas()
     q = q[["query_id", "lon", "lat", "k"]].copy()
     shell_schema, straggler_schema, out_schema = _schemas(_qid_type(queries, q))
     if len(q) == 0:
