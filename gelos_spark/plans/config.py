@@ -326,6 +326,52 @@ def _op_minhash_pairs(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFr
     )
 
 
+@op("simhash_pairs", needs_input=True)
+def _op_simhash_pairs(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
+    from gelos_spark.operators import dedup
+
+    return dedup.simhash_pairs(
+        conf["__input__"],
+        id_col=conf.get("id_col", "doc_id"),
+        text_col=conf.get("text_col", "text"),
+        max_hamming=int(conf.get("max_hamming", 3)),
+        seed=int(conf.get("seed", 42)),
+        checkpoint=conf.get("checkpoint", True),
+    )
+
+
+@op("ann_topk", required=("k",), needs_input=True)
+def _op_ann_topk(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
+    """Similarity search as a pipeline stage over an embedding frame:
+    ``method: lsh`` (default — bucketed, corpus-scale) or ``brute``
+    (exact; inherits brute_force_topk's broadcast-size guard).
+    ``query_ids`` restricts the query side to those ids; omitted, the
+    whole input searches against itself (corpus x corpus — lsh only
+    territory at scale)."""
+    from gelos_spark.operators import similarity
+
+    df = conf["__input__"]
+    id_col = conf.get("id_col", "vec_id")
+    vec_col = conf.get("vec_col", "embedding")
+    qids = conf.get("query_ids")
+    queries = df.where(F.col(id_col).isin(list(qids))) if qids else df
+    k = int(conf["k"])
+    method = conf.get("method", "lsh")
+    if method == "brute":
+        return similarity.brute_force_topk(
+            df, queries, k=k, id_col=id_col, vec_col=vec_col,
+            qid_col=id_col, qvec_col=vec_col,
+        )
+    if method == "lsh":
+        return similarity.lsh_topk(
+            spark, df, queries, k=k,
+            nbits=int(conf.get("nbits", 12)), ntables=int(conf.get("ntables", 6)),
+            seed=int(conf.get("seed", 42)), id_col=id_col, vec_col=vec_col,
+            qid_col=id_col, qvec_col=vec_col,
+        )
+    raise ValueError(f"ann_topk method must be 'lsh' or 'brute', got {method!r}")
+
+
 @op("phash_pairs", needs_input=True)
 def _op_phash_pairs(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
     from gelos_spark.operators import dedup

@@ -317,3 +317,58 @@ def test_pipeline_kill_resume_chaos(spark, tmp_path, monkeypatch):
     assert pipe.executed == ["near"]
     assert sorted(map(tuple, pipe.output("near").collect())) == ref_rows
     assert any(p.is_file() for p in (tmp_path / "ckpt").rglob("*"))
+
+
+def test_simhash_and_ann_config_ops(spark, tmp_path):
+    """The declarative dedup/similarity surface covers the whole
+    family: simhash near-dup and ANN top-k (lsh + brute, identical
+    candidates re-ranked exactly) run as config stages over the real
+    test tables."""
+    from gelos_spark.plans import config as cfg
+
+    conf = {
+        "run_id": "simann",
+        "stages": [
+            {
+                "name": "docs",
+                "op": "read_parquet",
+                "args": {"path": "/root/testdata/sf0.001/documents.parquet"},
+            },
+            {
+                "name": "sh_pairs",
+                "op": "simhash_pairs",
+                "input": "docs",
+                "args": {"max_hamming": 3},
+            },
+            {
+                "name": "emb",
+                "op": "read_parquet",
+                "args": {"path": "/root/testdata/sf0.001/embeddings.parquet"},
+            },
+            {
+                "name": "ann",
+                "op": "ann_topk",
+                "input": "emb",
+                "args": {"k": 5, "query_ids": [0, 1, 2, 3], "ntables": 12, "nbits": 8},
+            },
+            {
+                "name": "exact",
+                "op": "ann_topk",
+                "input": "emb",
+                "args": {"k": 5, "method": "brute", "query_ids": [0, 1, 2, 3]},
+            },
+        ],
+    }
+    pipe = cfg.build_pipeline(spark, conf, root=str(tmp_path / "run"))
+    assert pipe.output("sh_pairs").count() >= 0  # committed + lineage'd
+    ann = pipe.output("ann")
+    exact = pipe.output("exact")
+    assert exact.count() == 20  # 4 queries x k
+    # LSH re-ranks true cosines: wherever ANN and exact agree on a
+    # (query, candidate) pair the scores are bit-identical, and the
+    # bucketed path recovers a usable fraction of the exact top-k
+    overlap = ann.join(exact, ["query_id", "vec_id"]).count()
+    score_match = ann.join(exact, ["query_id", "vec_id", "cosine"]).count()
+    assert score_match == overlap
+    assert overlap >= 0.4 * exact.count()
+    assert pipe.log.lineage("simann").where("status = 'done'").count() == 5

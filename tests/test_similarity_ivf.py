@@ -109,3 +109,23 @@ def test_lsh_topk_recall_vs_brute_force(spark):
     # determinism: same seed, same buckets, same rows
     again = sim.lsh_topk(spark, emb, q, k=10, nbits=8, ntables=12, seed=42)
     assert sorted(map(tuple, ann.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_lsh_topk_sparse_partitions(spark):
+    """The Arrow bucketizer must survive empty input batches: a
+    3-vector corpus spread over 16 partitions leaves most mapInArrow
+    batches empty, and the result still matches brute force exactly
+    (3 vectors -> every bucket join is also the exact candidate set)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"vec_id": [0, 1, 2], "embedding": [[1.0, 0.0], [0.9, 0.1], [0.0, 1.0]]}
+    )
+    emb = spark.createDataFrame(pdf, "vec_id long, embedding array<double>").repartition(16)
+    q = emb.where("vec_id = 0")
+    ann = sim.lsh_topk(spark, emb, q, k=3, nbits=4, ntables=16, seed=1,
+                       qid_col="vec_id").toPandas()
+    exact = sim.brute_force_topk(emb, q, k=3, qid_col="vec_id").toPandas()
+    got = ann.merge(exact, on=["query_id", "vec_id", "cosine"])
+    # with 16 tables on 3 vectors the union of buckets is the full set
+    assert len(exact) == 3 and len(got) == len(ann) == 3
