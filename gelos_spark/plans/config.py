@@ -343,11 +343,13 @@ def _op_simhash_pairs(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFr
 @op("ann_topk", required=("k",), needs_input=True)
 def _op_ann_topk(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
     """Similarity search as a pipeline stage over an embedding frame:
-    ``method: lsh`` (default — bucketed, corpus-scale) or ``brute``
-    (exact; inherits brute_force_topk's broadcast-size guard).
-    ``query_ids`` restricts the query side to those ids; omitted, the
-    whole input searches against itself (corpus x corpus — lsh only
-    territory at scale)."""
+    ``method: lsh`` (default — bucketed, corpus-scale), ``ivf``
+    (train + index + probe in one stage; ``n_centroids``/``nprobe``/
+    ``iters`` tune it), or ``brute`` (exact; inherits
+    brute_force_topk's broadcast-size guard). ``query_ids`` restricts
+    the query side to those ids; omitted, the whole input searches
+    against itself (corpus x corpus — bucketed-methods-only territory
+    at scale; ivf then keeps the query side distributed)."""
     from gelos_spark.operators import similarity
 
     df = conf["__input__"]
@@ -356,6 +358,7 @@ def _op_ann_topk(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
     qids = conf.get("query_ids")
     queries = df.where(F.col(id_col).isin(list(qids))) if qids else df
     k = int(conf["k"])
+    seed = int(conf.get("seed", 42))
     method = conf.get("method", "lsh")
     if method == "brute":
         return similarity.brute_force_topk(
@@ -366,10 +369,25 @@ def _op_ann_topk(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
         return similarity.lsh_topk(
             spark, df, queries, k=k,
             nbits=int(conf.get("nbits", 12)), ntables=int(conf.get("ntables", 6)),
-            seed=int(conf.get("seed", 42)), id_col=id_col, vec_col=vec_col,
+            seed=seed, id_col=id_col, vec_col=vec_col,
             qid_col=id_col, qvec_col=vec_col,
         )
-    raise ValueError(f"ann_topk method must be 'lsh' or 'brute', got {method!r}")
+    if method == "ivf":
+        cents = similarity.ivf_train(
+            df, n_centroids=int(conf.get("n_centroids", 16)),
+            iters=int(conf.get("iters", 3)), seed=seed,
+            id_col=id_col, vec_col=vec_col,
+        )
+        index = similarity.ivf_index(df, cents, id_col=id_col, vec_col=vec_col)
+        return similarity.ivf_topk(
+            spark, index, cents, queries, k=k,
+            nprobe=int(conf.get("nprobe", 4)),
+            qid_col=id_col, qvec_col=vec_col,
+            # request-sized query sets collect; corpus self-search stays
+            # distributed end-to-end
+            collect_queries=bool(qids),
+        )
+    raise ValueError(f"ann_topk method must be 'lsh', 'ivf', or 'brute', got {method!r}")
 
 
 @op("phash_pairs", needs_input=True)

@@ -372,3 +372,43 @@ def test_simhash_and_ann_config_ops(spark, tmp_path):
     assert score_match == overlap
     assert overlap >= 0.4 * exact.count()
     assert pipe.log.lineage("simann").where("status = 'done'").count() == 5
+
+
+def test_ann_topk_ivf_method(spark, tmp_path):
+    """ann_topk's ivf method trains, indexes, and probes in one stage;
+    with nprobe == n_centroids every list is scanned, so the result
+    must equal the exact brute-force stage row for row."""
+    from gelos_spark.plans import config as cfg
+
+    conf = {
+        "run_id": "ivf",
+        "stages": [
+            {
+                "name": "emb",
+                "op": "read_parquet",
+                "args": {"path": "/root/testdata/sf0.001/embeddings.parquet"},
+            },
+            {
+                "name": "ivf",
+                "op": "ann_topk",
+                "input": "emb",
+                "args": {
+                    "k": 5,
+                    "method": "ivf",
+                    "query_ids": [0, 1, 2],
+                    "n_centroids": 8,
+                    "nprobe": 8,
+                },
+            },
+            {
+                "name": "exact",
+                "op": "ann_topk",
+                "input": "emb",
+                "args": {"k": 5, "method": "brute", "query_ids": [0, 1, 2]},
+            },
+        ],
+    }
+    pipe = cfg.build_pipeline(spark, conf, root=str(tmp_path / "run"))
+    ivf = sorted(map(tuple, pipe.output("ivf").collect()))
+    exact = sorted(map(tuple, pipe.output("exact").collect()))
+    assert len(exact) == 15 and ivf == exact
