@@ -456,6 +456,7 @@ def ngram_jaccard_pairs(
     min_jaccard: float = 0.2,
     block_col: str | None = None,
     allow_cross_join: bool = False,
+    checkpoint: bool | str = True,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard similarity for candidate pairs —
     pure column expressions (no UDF): split -> sliding n-grams via
@@ -463,7 +464,10 @@ def ngram_jaccard_pairs(
     intersect/union cardinality. ``block_col`` (e.g. lang, or an LSH
     band key) bounds the self-join and is REQUIRED: without a block
     this is an all-pairs cartesian product, which must be an explicit
-    opt-in (``allow_cross_join=True``, test scale only)."""
+    opt-in (``allow_cross_join=True``, test scale only). The gram-set
+    frame is persisted across the self-join (computed once, not once
+    per alias); ``checkpoint`` routes the release through
+    plans/materialize.finalize like the other pair operators."""
     if block_col is None and not allow_cross_join:
         raise ValueError(
             "ngram_jaccard_pairs without block_col is an all-pairs crossJoin; "
@@ -476,7 +480,11 @@ def ngram_jaccard_pairs(
             f"i -> concat_ws(' ', slice(split(lower({text_col}), '\\\\s+'), i + 1, {n})))"
         )
     )
-    g = docs.select(F.col(id_col).alias("id"), grams.alias("grams"), *( [F.col(block_col).alias("blk")] if block_col else []))
+    # persist the per-doc gram sets across the self-join's two aliases:
+    # the tokenize/slice/distinct transform is the heavy stage and
+    # would otherwise run over the corpus twice (the simhash/minhash
+    # signature-cache shape)
+    g = docs.select(F.col(id_col).alias("id"), grams.alias("grams"), *( [F.col(block_col).alias("blk")] if block_col else [])).persist()
     l, r = g.alias("l"), g.alias("r")
     cond = F.col("l.id") < F.col("r.id")
     if block_col:
@@ -485,7 +493,7 @@ def ngram_jaccard_pairs(
         joined = l.crossJoin(r).where(cond)
     inter = F.size(F.array_intersect(F.col("l.grams"), F.col("r.grams")))
     union = F.size(F.array_union(F.col("l.grams"), F.col("r.grams")))
-    return (
+    out = (
         joined.select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
@@ -494,6 +502,9 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= min_jaccard)
         .orderBy("id_a", "id_b")
     )
+    from gelos_spark.plans.materialize import finalize
+
+    return finalize(out, checkpoint, caches=[g])
 
 
 # ------------------------------------------------- embedding cosine
@@ -505,11 +516,15 @@ def embedding_dup_pairs(
     min_cosine: float = 0.95,
     block_col: str | None = None,
     allow_cross_join: bool = False,
+    checkpoint: bool | str = True,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine similarity — pure
     column math (zip_with dot product / aggregate norms). block_col
     bounds the pair space and is required unless allow_cross_join=True
-    (the LSH-bucketed scale variant lives in operators/similarity.py)."""
+    (the LSH-bucketed scale variant lives in operators/similarity.py).
+    The (id, vec, norm) frame is persisted across the self-join's two
+    aliases (norms computed once); ``checkpoint`` releases the cache
+    through plans/materialize.finalize like the other pair operators."""
     if block_col is None and not allow_cross_join:
         raise ValueError(
             "embedding_dup_pairs without block_col is an all-pairs crossJoin; "
@@ -523,7 +538,7 @@ def embedding_dup_pairs(
         F.col(vec_col).alias("v"),
         norm(vec_col).alias("nrm"),
         *([F.col(block_col).alias("blk")] if block_col else []),
-    )
+    ).persist()
     l, r = e.alias("l"), e.alias("r")
     cond = F.col("l.id") < F.col("r.id")
     joined = (
@@ -532,7 +547,7 @@ def embedding_dup_pairs(
         else l.crossJoin(r).where(cond)
     )
     dot = F.expr("aggregate(zip_with(l.v, r.v, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (a, p) -> a + p)")
-    return (
+    out = (
         joined.select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
@@ -541,3 +556,6 @@ def embedding_dup_pairs(
         .where(F.col("cosine") >= min_cosine)
         .orderBy("id_a", "id_b")
     )
+    from gelos_spark.plans.materialize import finalize
+
+    return finalize(out, checkpoint, caches=[e])

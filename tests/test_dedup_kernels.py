@@ -206,3 +206,31 @@ def test_simhash_signature_cached_across_self_join(spark):
     eager = dedup.simhash_pairs(docs, max_hamming=6)
     assert sorted(map(tuple, lazy.collect())) == sorted(map(tuple, eager.collect()))
     spark.catalog.clearCache()
+
+
+def test_pair_operators_cache_their_signature_frames(spark):
+    """ngram_jaccard_pairs and embedding_dup_pairs must compute their
+    per-row frame (gram sets / vec norms) ONCE across the self-join's
+    two aliases: checkpoint=False exposes the compute plan and both
+    sides must read an InMemoryRelation; values are unchanged vs the
+    materialized default."""
+    docs = spark.createDataFrame(
+        [("d%02d" % i, "alpha beta gamma delta %d epsilon" % (i % 3)) for i in range(30)],
+        "doc_id string, text string",
+    )
+    lazy = dedup.ngram_jaccard_pairs(docs, n=2, allow_cross_join=True, checkpoint=False)
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    eager = dedup.ngram_jaccard_pairs(docs, n=2, allow_cross_join=True)
+    assert sorted(map(tuple, lazy.collect())) == sorted(map(tuple, eager.collect()))
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 4), 1.0, float(i % 2)]) for i in range(24)],
+        "vec_id long, embedding array<double>",
+    )
+    lazy_e = dedup.embedding_dup_pairs(emb, allow_cross_join=True, checkpoint=False)
+    plan_e = lazy_e._jdf.queryExecution().executedPlan().toString()
+    assert plan_e.count("InMemoryTableScan") >= 2, plan_e
+    eager_e = dedup.embedding_dup_pairs(emb, allow_cross_join=True)
+    assert sorted(map(tuple, lazy_e.collect())) == sorted(map(tuple, eager_e.collect()))
+    spark.catalog.clearCache()
