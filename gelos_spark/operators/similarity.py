@@ -87,6 +87,23 @@ def _hyperplanes(dim: int, nbits: int, ntables: int, seed: int) -> np.ndarray:
     return rng.standard_normal((ntables, nbits, dim))
 
 
+def _list_matrix(v, num_rows: int, dim: int) -> np.ndarray:
+    """Arrow ListArray -> ``[num_rows, dim]`` float64 matrix via ONE
+    ``flatten()`` + reshape (zero per-row Python). Per-row lengths are
+    validated from the list *offsets* — an aggregate-size check alone
+    would let offsetting deviations (e.g. rows of len 3 and 5 with
+    dim 4) cancel out and reshape silently into wrong rows. Ragged or
+    null batches fall back to a per-row stack so malformed inputs fail
+    in NumPy with a real shape/None error, never silently."""
+    ok = False
+    if v.null_count == 0 and hasattr(v, "offsets"):
+        lens = np.diff(np.asarray(v.offsets, dtype=np.int64))
+        ok = lens.size == num_rows and bool(np.all(lens == dim))
+    if ok:
+        return np.asarray(v.flatten(), dtype=np.float64).reshape(num_rows, dim)
+    return np.stack([np.asarray(x, dtype=np.float64) for x in v.to_pylist()])
+
+
 def _bucket_codes_frame(
     df: DataFrame, id_col: str, vec_col: str, planes: np.ndarray, out_id: str
 ) -> DataFrame:
@@ -99,7 +116,8 @@ def _bucket_codes_frame(
     output via ``codes.tolist()`` in a pandas UDF; the remaining ~0.4s
     of the 0.44s stage was the per-row ``np.asarray`` input stack this
     removes.) The JVM ``posexplode`` downstream yields (tbl, bucket)
-    pairs. Ragged batches (dim drift) fall back to a per-row stack so
+    pairs. Per-row lengths are validated from the list offsets
+    (``_list_matrix``); ragged batches fall back to a per-row stack so
     malformed inputs fail in NumPy with a shape error, not silently."""
     import pyarrow as pa
 
@@ -114,11 +132,7 @@ def _bucket_codes_frame(
             if b.num_rows == 0:
                 continue
             v = b.column("__v")
-            flat = np.asarray(v.flatten(), dtype=np.float64)
-            if flat.size == b.num_rows * dim:
-                m = flat.reshape(b.num_rows, dim)
-            else:  # ragged/null rows: per-row stack raises the real error
-                m = np.stack([np.asarray(x, dtype=np.float64) for x in v.to_pylist()])
+            m = _list_matrix(v, b.num_rows, dim)
             sgn = np.einsum("tbd,nd->ntb", planes, m) > 0  # [N, T, nbits]
             codes = (sgn * weights[None, None, :]).sum(axis=2)  # [N, T] int64
             offsets = pa.array(
@@ -191,17 +205,37 @@ def recall_at_k(ann: DataFrame, exact: DataFrame, k: int) -> float:
 
 # ----------------------------------------------------------------- IVF
 
-def _assign_udf(centroids: np.ndarray):
-    """pandas_udf: vector -> nearest centroid id by cosine (int)."""
+def _assign_frame(
+    df: DataFrame, id_col: str, vec_col: str, centroids: np.ndarray
+) -> DataFrame:
+    """(id, vec) -> (vec_id, cv, cid) with the nearest-centroid (by
+    cosine) list id, computed in ``mapInArrow``: the vector column is
+    read as one Arrow buffer (``_list_matrix`` — offsets-validated
+    flatten+reshape), so input conversion, the [N, K] matmul, and
+    output assembly are all batch-level, zero per-row Python (the
+    round-5 ``_bucket_codes_frame`` pattern applied to the IVF
+    family's last per-row input stack)."""
+    import pyarrow as pa
+
     cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    dim = cn.shape[1]
+    idt = df.schema[id_col].dataType.simpleString()
+    vt = df.schema[vec_col].dataType.simpleString()
+    src = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"))
 
-    @F.pandas_udf(T.IntegerType())
-    def _assign(vec: pd.Series) -> pd.Series:
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in vec])
-        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        return pd.Series(np.argmax(m @ cn.T, axis=1).astype(np.int32))
+    def fn(batches):
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            m = _list_matrix(b.column("cv"), b.num_rows, dim)
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            cid = np.argmax(mn @ cn.T, axis=1).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [b.column("vec_id"), b.column("cv"), pa.array(cid)],
+                names=["vec_id", "cv", "cid"],
+            )
 
-    return _assign
+    return src.mapInArrow(fn, f"vec_id {idt}, cv {vt}, cid int")
 
 
 def ivf_train(
@@ -215,12 +249,18 @@ def ivf_train(
     """Spherical k-means centroids via Lloyd iterations, fully
     distributed: init = first n_centroids vectors in deterministic
     hash order (seeded, partition-layout-independent); each iteration
-    runs ONE narrow mapInPandas pass that assigns every vector to its
+    runs ONE narrow mapInArrow pass that assigns every vector to its
     nearest (cosine) centroid and emits per-partition partial sums —
     a [K, dim] float64 matrix + count vector per partition — merged on
     the driver. No shuffle, no row amplification (the previous
     posexplode design shuffled dim x corpus rows per iteration, a
-    768x blowup at embedding scale)."""
+    768x blowup at embedding scale). Input conversion is one
+    offsets-validated ``_list_matrix`` flatten+reshape per batch and
+    the partial-sum output is assembled as Arrow arrays — zero per-row
+    Python in the most-executed loop of the family (runs once per
+    Lloyd iteration over the corpus; round 6)."""
+    import pyarrow as pa
+
     init = (
         corpus.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)).asc(), F.col(id_col).asc())
         .limit(n_centroids)
@@ -236,24 +276,33 @@ def ivf_train(
         def partial_sums(batches, cn=cn, k=n_centroids, dim=dim):
             sums = np.zeros((k, dim), dtype=np.float64)
             cnts = np.zeros(k, dtype=np.int64)
-            for pdf in batches:
-                if len(pdf) == 0:
+            seen = False
+            for b in batches:
+                if b.num_rows == 0:
                     continue
-                m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+                seen = True
+                m = _list_matrix(b.column("v"), b.num_rows, dim)
                 mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
                 cid = np.argmax(mn @ cn.T, axis=1)
                 np.add.at(sums, cid, m)
                 np.add.at(cnts, cid, 1)
+            if not seen:
+                return
             nz = np.flatnonzero(cnts)
-            yield pd.DataFrame(
-                {
-                    "cid": nz.astype(np.int32),
-                    "cnt": cnts[nz],
-                    "vsum": [sums[i].tolist() for i in nz],
-                }
+            offsets = pa.array(np.arange(0, (nz.size + 1) * dim, dim, dtype=np.int32))
+            vsum = pa.ListArray.from_arrays(
+                offsets, pa.array(sums[nz].ravel(), type=pa.float64())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(nz.astype(np.int32)),
+                    pa.array(cnts[nz], type=pa.int64()),
+                    vsum,
+                ],
+                names=["cid", "cnt", "vsum"],
             )
 
-        rows = vecs.mapInPandas(partial_sums, "cid int, cnt long, vsum array<double>").collect()
+        rows = vecs.mapInArrow(partial_sums, "cid int, cnt long, vsum array<double>").collect()
         sums = np.zeros((n_centroids, dim), dtype=np.float64)
         cnts = np.zeros(n_centroids, dtype=np.int64)
         for r in sorted(rows, key=lambda r: (r["cid"],)):
@@ -275,11 +324,8 @@ def ivf_index(
     """Attach the inverted-list id: (vec_id, cv, cn, cid). At scale
     this is the table you persist bucketed by cid — probes touch only
     nprobe lists instead of the full corpus."""
-    return corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("cv"),
-        _norm_expr(vec_col).alias("cn"),
-        _assign_udf(centroids)(F.col(vec_col)).alias("cid"),
+    return _assign_frame(corpus, id_col, vec_col, centroids).select(
+        "vec_id", "cv", _norm_expr("cv").alias("cn"), "cid"
     )
 
 
@@ -366,28 +412,47 @@ def _ivf_topk_distributed(
     qvec_col: str,
 ) -> DataFrame:
     """Distributed IVF probe: the normalized centroid matrix (tiny)
-    broadcasts into a vectorized pandas UDF that assigns each query
-    row its nprobe nearest list ids; the probe table then equi-joins
-    the inverted index on cid (a shuffle keyed by list id — the
-    bucketed join, no broadcast of the query side, which may be
-    corpus-sized here). Same math, same ordering, identical rows to
-    the driver-side path."""
+    broadcasts into a vectorized ``mapInArrow`` stage that assigns
+    each query row its nprobe nearest list ids; the probe table then
+    equi-joins the inverted index on cid (a shuffle keyed by list id —
+    the bucketed join, no broadcast of the query side, which may be
+    corpus-sized here). Input conversion and probe-list assembly are
+    batch-level Arrow (``_list_matrix`` + ``ListArray.from_arrays``) —
+    zero per-row Python even when the query side is the corpus. Same
+    math, same ordering, identical rows to the driver-side path."""
+    import pyarrow as pa
+
     cn_mat = centroids / np.maximum(
         np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
     )
     bc = spark.sparkContext.broadcast(cn_mat)
+    dim = cn_mat.shape[1]
+    qidt = queries.schema[qid_col].dataType.simpleString()
+    qvt = queries.schema[qvec_col].dataType.simpleString()
+    qsrc = queries.select(F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("qv"))
 
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
-    def _probes(qv: pd.Series) -> pd.Series:
+    def probe_fn(batches):
         c = bc.value
-        qm = np.stack([np.asarray(v, dtype=np.float64) for v in qv])
-        qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
-        order = np.argsort(-(qn @ c.T), axis=1)[:, : min(nprobe, c.shape[0])]
-        return pd.Series([row.astype(np.int32).tolist() for row in order])
+        npb = min(nprobe, c.shape[0])
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            qm = _list_matrix(b.column("qv"), b.num_rows, dim)
+            qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+            order = np.argsort(-(qn @ c.T), axis=1)[:, :npb]
+            offsets = pa.array(np.arange(0, (b.num_rows + 1) * npb, npb, dtype=np.int32))
+            probes = pa.ListArray.from_arrays(
+                offsets, pa.array(order.ravel().astype(np.int32))
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column("query_id"), b.column("qv"), probes],
+                names=["query_id", "qv", "__probes"],
+            )
 
     qdf = (
-        queries.select(F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("qv"))
-        .withColumn("cid", F.explode(_probes(F.col("qv"))))
+        qsrc.mapInArrow(probe_fn, f"query_id {qidt}, qv {qvt}, __probes array<int>")
+        .withColumn("cid", F.explode("__probes"))
+        .drop("__probes")
         .withColumn("qn", _norm_expr("qv"))
     )
     cand = index.join(qdf, "cid").select(

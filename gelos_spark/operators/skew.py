@@ -25,17 +25,41 @@ pyramid's res-N level is exactly that table).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SALT_COL = "_salt"
 
+MAX_AUTO_SALT = 64
+
+
+def skew_stats(df: DataFrame, key: str, factor: float = 8.0) -> tuple[list, int]:
+    """One ``groupBy(key).count()`` pre-pass -> ``(hot keys, n_salt)``
+    with ``n_salt`` DERIVED from the observed skew instead of guessed
+    by the caller: the hottest key's rows need ``ceil(max/mean)``
+    mean-sized reducer chunks, clamped to [2, MAX_AUTO_SALT] (beyond
+    ~64 the per-salt partial-agg fan-in costs more than residual skew;
+    a mis-tuned caller can no longer under-salt). The counts frame is
+    persisted for the two tiny actions so the input scans once; at
+    10^12 scale run this on a sample or the vector pyramid's per-cell
+    count table (module docstring)."""
+    counts = df.groupBy(key).count().persist()
+    try:
+        agg = counts.agg(F.avg("count").alias("m"), F.max("count").alias("mx")).collect()[0]
+        mean, mx = agg["m"] or 0.0, agg["mx"] or 0
+        hot = [r[key] for r in counts.where(F.col("count") > factor * mean).collect()]
+    finally:
+        counts.unpersist()
+    if not hot or mean <= 0:
+        return hot, 1
+    return hot, max(2, min(MAX_AUTO_SALT, math.ceil(mx / mean)))
+
 
 def hot_keys(df: DataFrame, key: str, factor: float = 8.0) -> list:
     """Keys whose row count exceeds ``factor`` x the mean per-key load."""
-    counts = df.groupBy(key).count()
-    mean = counts.agg(F.avg("count").alias("m")).collect()[0]["m"] or 0.0
-    return [r[key] for r in counts.where(F.col("count") > factor * mean).collect()]
+    return skew_stats(df, key, factor)[0]
 
 
 def with_salt(df: DataFrame, key: str, hot: list, n_salt: int, uid: str) -> DataFrame:
@@ -65,29 +89,42 @@ def salted_join(
     key: str,
     uid: str,
     hot: list | None = None,
-    n_salt: int = 16,
+    n_salt: int | None = None,
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join robust to hot ``key`` values: fact side salted by
     uid-hash, dim side exploded over salts — the hot key's rows spread
-    over ``n_salt`` reducers instead of one. Result == plain join."""
-    if hot is None:
-        hot = hot_keys(fact, key)
+    over ``n_salt`` reducers instead of one. Result == plain join.
+
+    With the defaults both the hot set AND ``n_salt`` come from the
+    ``skew_stats`` pre-pass (safe by default — round 6); pass either
+    explicitly to pin them (or to reuse a previously computed stat)."""
+    if hot is None or n_salt is None:
+        auto_hot, auto_salt = skew_stats(fact, key)
+        hot = auto_hot if hot is None else hot
+        n_salt = auto_salt if n_salt is None else n_salt
     f = with_salt(fact, key, hot, n_salt, uid)
     d = explode_salts(dim, key, hot, n_salt)
     return f.join(d, [key, SALT_COL], how).drop(SALT_COL)
 
 
 def salted_count(
-    df: DataFrame, key: str, hot: list | None = None, n_salt: int = 16, uid: str | None = None
+    df: DataFrame,
+    key: str,
+    hot: list | None = None,
+    n_salt: int | None = None,
+    uid: str | None = None,
 ) -> DataFrame:
     """groupBy(key).count() as a two-stage salted aggregation:
     partial count on (key, salt) then final sum on key. Equals the
     direct groupBy for any salt assignment (count is decomposable);
-    used where AQE can't help (hash aggregation, not join)."""
+    used where AQE can't help (hash aggregation, not join). Defaults
+    auto-derive hot/n_salt like ``salted_join``."""
     uid = uid or key
-    if hot is None:
-        hot = hot_keys(df, key)
+    if hot is None or n_salt is None:
+        auto_hot, auto_salt = skew_stats(df, key)
+        hot = auto_hot if hot is None else hot
+        n_salt = auto_salt if n_salt is None else n_salt
     salted = with_salt(df, key, hot, n_salt, uid)
     partial = salted.groupBy(key, SALT_COL).agg(F.count("*").alias("_pc"))
     return partial.groupBy(key).agg(F.sum("_pc").alias("count"))

@@ -347,15 +347,34 @@ def _op_ann_topk(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
     (train + index + probe in one stage; ``n_centroids``/``nprobe``/
     ``iters`` tune it), or ``brute`` (exact; inherits
     brute_force_topk's broadcast-size guard). ``query_ids`` restricts
-    the query side to those ids; omitted, the whole input searches
-    against itself (corpus x corpus — bucketed-methods-only territory
-    at scale; ivf then keeps the query side distributed)."""
+    the query side to those ids; omitted (or null), the whole input
+    searches against itself (corpus x corpus — bucketed-methods-only
+    territory at scale; ivf then keeps the query side distributed).
+    An explicitly EMPTY list raises — it almost certainly meant "no
+    queries", and falling back to the (expensive) self-search would
+    invert the author's intent. The id list builds an ``isin`` and is
+    bounded like the knn/brute query contracts: request-sized only
+    (> ``max_query_ids``, default 10k, raises — drive corpus-sized
+    query sets through the self-search path instead)."""
     from gelos_spark.operators import similarity
 
     df = conf["__input__"]
     id_col = conf.get("id_col", "vec_id")
     vec_col = conf.get("vec_col", "embedding")
     qids = conf.get("query_ids")
+    if qids is not None and len(list(qids)) == 0:
+        raise ValueError(
+            "ann_topk: query_ids is an empty list — refusing to silently fall "
+            "back to full corpus x corpus self-search; omit the key (or set it "
+            "to null) if self-search is intended"
+        )
+    max_qids = int(conf.get("max_query_ids", 10_000))
+    if qids is not None and len(list(qids)) > max_qids:
+        raise ValueError(
+            f"ann_topk: {len(list(qids))} query_ids > max_query_ids={max_qids} "
+            "(the list becomes a broadcast isin filter; corpus-sized query "
+            "sets should use the self-search path or a join-based filter)"
+        )
     queries = df.where(F.col(id_col).isin(list(qids))) if qids else df
     k = int(conf["k"])
     seed = int(conf.get("seed", 42))

@@ -168,10 +168,14 @@ def test_knn_distributed_multi_round_finalization(spark, monkeypatch):
 
 
 def test_knn_corpus_sized_queries_auto_dispatch(spark):
-    """A Spark query frame past max_queries must NEVER be collected to
-    the driver (the silent-OOM edge): knn_join probes with one
-    limit(n+1).count() and routes to knn_join_distributed, returning
-    rows identical to calling the distributed path directly."""
+    """A Spark query frame past max_queries must NEVER be fully
+    collected to the driver (the silent-OOM edge): knn_join probes via
+    the bounded limit(max_queries+1).toPandas() collect the path
+    already needs (zero extra Spark actions — the collect IS the
+    guard), and on overflow routes to knn_join_distributed, returning
+    rows identical to calling the distributed path directly. The trap
+    below asserts the caller's unbounded frame never reaches
+    toPandas() (knn_join only collects through its own limit())."""
     from gelos_spark.operators.knn_join import knn_join_distributed
 
     tiles = synth.tracker_df(spark, 800, seed=9)

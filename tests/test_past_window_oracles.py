@@ -1,9 +1,10 @@
 """The driver's correctness gate records only the first 50 registered
 queries; three oracle-backed queries live past that window
-(fmt_latlon, location_encode, hamming_pairs — see
-__spark_entry__.py's rows-only section). Their DuckDB-exactness was
-previously checked only when scripts/check_oracle.py was run by hand;
-this test runs the same compare (same canon, same oracle SQL) at
+(fmt_latlon, location_encode, array_repeat_concat — see
+__spark_entry__.py's rows-only section; round 6 rotated hamming_pairs
+INTO the window and array_repeat_concat out). Their DuckDB-exactness
+was previously checked only when scripts/check_oracle.py was run by
+hand; this test runs the same compare (same canon, same oracle SQL) at
 sf0.001 inside the suite so the evidence regenerates every round.
 """
 
@@ -28,7 +29,7 @@ check_oracle = importlib.util.module_from_spec(_spec)
 _spec.loader.exec_module(check_oracle)
 
 SF_DIR = "/root/testdata/sf0.001"
-PAST_WINDOW_ORACLE_QUERIES = ["fmt_latlon", "location_encode", "hamming_pairs"]
+PAST_WINDOW_ORACLE_QUERIES = ["fmt_latlon", "location_encode", "array_repeat_concat"]
 
 
 @pytest.fixture(scope="module")

@@ -26,6 +26,32 @@ def emb(spark):
     return spark.createDataFrame(pd.DataFrame(rows)).persist()
 
 
+def test_list_matrix_validates_per_row_lengths():
+    """The batch input kernel under the whole ANN family. Per-row
+    lengths are validated from the list OFFSETS — an aggregate-size
+    check alone would let deviations cancel (rows of len 3 and 5 with
+    dim 4 flatten to 8 == 2*4) and reshape silently into wrong rows
+    (round-5 advice). Ragged/null batches must fail loudly via the
+    per-row fallback, never silently."""
+    import pyarrow as pa
+
+    good = pa.array([[1.0, 2.0, 3.0, 4.0], [5.0, 6.0, 7.0, 8.0]])
+    m = sim._list_matrix(good, 2, 4)
+    assert m.shape == (2, 4) and m[1, 0] == 5.0 and m.dtype == np.float64
+
+    # a sliced ListArray's offsets don't start at 0 — still exact
+    sl = pa.array([[9.0, 9.0, 9.0, 9.0], [1.0, 2.0, 3.0, 4.0]]).slice(1, 1)
+    assert np.array_equal(sim._list_matrix(sl, 1, 4), [[1.0, 2.0, 3.0, 4.0]])
+
+    ragged = pa.array([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0, 7.0, 8.0]])  # 3+5 == 2*4
+    with pytest.raises(ValueError):
+        sim._list_matrix(ragged, 2, 4)
+
+    nulls = pa.array([[1.0, 2.0, 3.0, 4.0], None])
+    with pytest.raises((TypeError, ValueError)):
+        sim._list_matrix(nulls, 2, 4)
+
+
 def test_ivf_train_deterministic(spark, emb):
     c1 = sim.ivf_train(emb, n_centroids=8, iters=2, seed=7)
     c2 = sim.ivf_train(emb.repartition(13), n_centroids=8, iters=2, seed=7)

@@ -43,6 +43,43 @@ def test_salted_join_equals_plain(spark):
     assert plain == salted
 
 
+def test_skew_stats_autoderives_n_salt(spark):
+    """n_salt comes from the observed skew (ceil(max/mean), clamped):
+    the ~90%-in-one-key mixture must yield a large salt fan-out with
+    no caller tuning (round-6 auto-tune), and a uniform table must
+    not salt at all."""
+    hot, n_salt = skew.skew_stats(_skewed(spark), "k")
+    assert 0 in hot
+    # ~4500 rows on key 0 vs a mean of ~57 -> ratio ~79, clamped to 64
+    assert n_salt == skew.MAX_AUTO_SALT
+    uniform = spark.range(0, 1000).select(
+        F.col("id").alias("uid"), (F.col("id") % 100).alias("k")
+    )
+    hot_u, n_u = skew.skew_stats(uniform, "k")
+    assert hot_u == [] and n_u == 1
+
+
+def test_salted_join_auto_equals_plain(spark):
+    """The safe-by-default path: no hot list, no n_salt — both derived
+    from the pre-pass — and the result still equals the plain join."""
+    fact = _skewed(spark)
+    dim = spark.range(0, 97).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("dv")
+    )
+    plain = sorted((r.uid, r.dv) for r in fact.join(dim, "k").collect())
+    auto = sorted(
+        (r.uid, r.dv) for r in skew.salted_join(fact, dim, "k", uid="uid").collect()
+    )
+    assert plain == auto
+
+
+def test_salted_count_auto_equals_plain(spark):
+    df = _skewed(spark)
+    plain = {r.k: r["count"] for r in df.groupBy("k").count().collect()}
+    auto = {r.k: r["count"] for r in skew.salted_count(df, "k", uid="uid").collect()}
+    assert plain == auto
+
+
 def test_salt_spreads_hot_key(spark):
     df = skew.with_salt(_skewed(spark), "k", hot=[0], n_salt=8, uid="uid")
     n_salts = df.where(F.col("k") == 0).select(skew.SALT_COL).distinct().count()

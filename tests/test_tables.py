@@ -8,6 +8,8 @@ gelos/embedding_transformation.py:85-94.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -36,6 +38,81 @@ def test_overwrite_partition_idempotent(spark, tmp_path):
     t.overwrite_partition(spark.range(0, 7), partition="stage_a")
     assert t.total_rows() == 17
     vals = sorted(r.id for r in t.read(spark).collect())
+    assert vals == list(range(0, 7)) + list(range(100, 110))
+
+
+def test_mid_commit_crash_reader_sees_previous_snapshot(spark, tmp_path, monkeypatch):
+    """Chaos: die BETWEEN writing the parquet data files (and even the
+    new manifest JSON) and the atomic ``_current`` rename — the exact
+    torn-commit window the snapshot protocol exists for (engine analog
+    of the reference's marker-file commit,
+    gelos/embedding_generation.py:58-61,80). A concurrent reader must
+    still see the previous snapshot, and a re-run must commit cleanly
+    with no double-count from the crashed attempt's orphaned files."""
+    from gelos_spark.tables import snapshot as snap_mod
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.append(spark.range(0, 10).coalesce(1), partition="p0")
+    s1 = t.current_snapshot_id()
+    rows1 = sorted(r.id for r in t.read(spark).collect())
+
+    real_rename = snap_mod.os.rename
+
+    def dying_rename(src, dst, *a, **k):
+        if str(dst).endswith("_current"):
+            raise RuntimeError("killed at the commit point")
+        return real_rename(src, dst, *a, **k)
+
+    monkeypatch.setattr(snap_mod.os, "rename", dying_rename)
+    with pytest.raises(RuntimeError, match="commit point"):
+        t.append(spark.range(10, 20).coalesce(1), partition="p1")
+    monkeypatch.setattr(snap_mod.os, "rename", real_rename)
+
+    # a concurrent reader (fresh handle on the same root) still sees
+    # the OLD snapshot — never a torn one — even though the crashed
+    # attempt left data files and an uncommitted manifest on disk
+    reader = SnapshotTable(str(tmp_path / "t"))
+    assert reader.current_snapshot_id() == s1
+    assert sorted(r.id for r in reader.read(spark).collect()) == rows1
+    assert reader.total_rows() == 10
+    orphan_manifest = os.path.join(str(tmp_path / "t"), "manifests", f"{s1 + 1}.json")
+    assert os.path.exists(orphan_manifest)  # written, but never pointed at
+
+    # re-run commits cleanly: exactly the union, the orphaned attempt
+    # is superseded (same snapshot id reused), nothing double-counted
+    t2 = SnapshotTable(str(tmp_path / "t"))
+    sid = t2.append(spark.range(10, 20).coalesce(1), partition="p1")
+    assert sid == s1 + 1
+    assert t2.total_rows() == 20
+    assert sorted(r.id for r in t2.read(spark).collect()) == list(range(20))
+    assert all(os.path.exists(f["path"]) for f in t2.files())
+
+
+def test_mid_commit_crash_overwrite_partition_stays_idempotent(
+    spark, tmp_path, monkeypatch
+):
+    """Same torn-commit window, but for ``overwrite_partition`` (the
+    resume path's idempotent stage re-write): a crash mid-overwrite
+    must leave the partition's OLD files visible, and the retried
+    overwrite must replace them exactly once."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.overwrite_partition(spark.range(0, 5).coalesce(1), partition="stage_a")
+    t.overwrite_partition(spark.range(100, 110).coalesce(1), partition="stage_b")
+
+    def boom(self, files):
+        raise RuntimeError("killed before commit")
+
+    monkeypatch.setattr(SnapshotTable, "_commit", boom)
+    with pytest.raises(RuntimeError, match="before commit"):
+        t.overwrite_partition(spark.range(0, 7).coalesce(1), partition="stage_a")
+    monkeypatch.undo()
+
+    reader = SnapshotTable(str(tmp_path / "t"))
+    assert reader.total_rows() == 15  # old stage_a (5 rows) still live
+    # retry: stage_a replaced exactly (7 rows), stage_b untouched
+    reader.overwrite_partition(spark.range(0, 7).coalesce(1), partition="stage_a")
+    assert reader.total_rows() == 17
+    vals = sorted(r.id for r in reader.read(spark).collect())
     assert vals == list(range(0, 7)) + list(range(100, 110))
 
 
