@@ -104,6 +104,54 @@ def _list_matrix(v, num_rows: int, dim: int) -> np.ndarray:
     return np.stack([np.asarray(x, dtype=np.float64) for x in v.to_pylist()])
 
 
+def _fold_dot(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Per-row dot product with the EXACT left-fold summation order of
+    the JVM ``aggregate(zip_with(...))`` expression (`_dot_expr`):
+    acc = (...((0 + p_0) + p_1)...) + p_{d-1}, each product and add in
+    IEEE float64. One vectorized add per dimension (d ops over
+    N-length arrays — still batch-level BLAS-ish speed) instead of
+    ``np.sum``'s pairwise tree, so the result is BIT-IDENTICAL to the
+    JVM scorer, not just close — the oracle-exactness contract every
+    top-k path carries survives the kernel swap."""
+    acc = np.zeros(a.shape[0], dtype=np.float64)
+    for d in range(a.shape[1]):
+        acc += a[:, d] * b[:, d]
+    return acc
+
+
+def _cosine_pairs_frame(df: DataFrame, dim: int) -> DataFrame:
+    """Candidate-pair scorer for the corpus-scale ANN paths: a frame
+    of (query_id, vec_id, qv, cv, qn, cn) pairs -> (query_id, vec_id,
+    cosine) via ``mapInArrow``. The JVM higher-order-function dot
+    costs ~145ns/element on this VM (measured round 6: 9.3s for 1M
+    pairs x dim 64 in the ivf self-search bench); this kernel reads
+    both vector columns as single Arrow buffers (``_list_matrix``) and
+    computes the fold-ordered dot batch-level — same bits, ~10x less
+    time. Norms arrive precomputed (JVM ``_norm_expr`` at index/probe
+    build), and the output is scalars-only, so the window shuffle
+    that follows never carries vectors."""
+    import pyarrow as pa
+
+    qit = df.schema["query_id"].dataType.simpleString()
+    vit = df.schema["vec_id"].dataType.simpleString()
+
+    def fn(batches):
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            qm = _list_matrix(b.column("qv"), b.num_rows, dim)
+            cm = _list_matrix(b.column("cv"), b.num_rows, dim)
+            qn = np.asarray(b.column("qn"), dtype=np.float64)
+            cn = np.asarray(b.column("cn"), dtype=np.float64)
+            cos = _fold_dot(cm, qm) / (cn * qn)
+            yield pa.RecordBatch.from_arrays(
+                [b.column("query_id"), b.column("vec_id"), pa.array(cos)],
+                names=["query_id", "vec_id", "cosine"],
+            )
+
+    return df.mapInArrow(fn, f"query_id {qit}, vec_id {vit}, cosine double")
+
+
 def _bucket_codes_frame(
     df: DataFrame, id_col: str, vec_col: str, planes: np.ndarray, out_id: str
 ) -> DataFrame:
@@ -178,15 +226,14 @@ def lsh_topk(
         F.posexplode("__codes").alias("tbl", "bucket"),
     )
 
-    cand = (
+    pairs = (
         c.join(F.broadcast(q), ["tbl", "bucket"])
         .dropDuplicates(["query_id", "vec_id"])
-        .select(
-            "query_id",
-            "vec_id",
-            (_dot_expr("cv", "qv") / (F.col("cn") * F.col("qn"))).alias("cosine"),
-        )
+        .select("query_id", "vec_id", "qv", "cv", "qn", "cn")
     )
+    # exact re-rank through the Arrow pair scorer (bit-identical to
+    # the JVM _dot_expr fold — see _fold_dot); scalars-only after this
+    cand = _cosine_pairs_frame(pairs, dim)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return (
         cand.withColumn("rank", F.row_number().over(w))

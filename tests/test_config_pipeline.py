@@ -412,3 +412,36 @@ def test_ann_topk_ivf_method(spark, tmp_path):
     ivf = sorted(map(tuple, pipe.output("ivf").collect()))
     exact = sorted(map(tuple, pipe.output("exact").collect()))
     assert len(exact) == 15 and ivf == exact
+
+
+def test_ann_topk_rejects_empty_and_oversized_query_ids(spark, tmp_path):
+    """query_ids: [] almost certainly meant "no queries" — silently
+    falling back to corpus x corpus self-search would invert the
+    author's intent (round-5 advice); and the id list becomes a
+    broadcast isin, so corpus-sized lists are refused like the
+    knn/brute query contracts."""
+    from gelos_spark.plans import config as cfg
+
+    def conf(run_id, args):
+        return {
+            "run_id": run_id,
+            "stages": [
+                {
+                    "name": "emb",
+                    "op": "read_parquet",
+                    "args": {"path": "/root/testdata/sf0.001/embeddings.parquet"},
+                },
+                {"name": "ann", "op": "ann_topk", "input": "emb", "args": args},
+            ],
+        }
+
+    with pytest.raises(ValueError, match="empty"):
+        cfg.build_pipeline(
+            spark, conf("g1", {"k": 5, "query_ids": []}), root=str(tmp_path / "r1")
+        )
+    with pytest.raises(ValueError, match="max_query_ids"):
+        cfg.build_pipeline(
+            spark,
+            conf("g2", {"k": 5, "query_ids": list(range(11)), "max_query_ids": 10}),
+            root=str(tmp_path / "r2"),
+        )
