@@ -52,6 +52,45 @@ def test_list_matrix_validates_per_row_lengths():
         sim._list_matrix(nulls, 2, 4)
 
 
+def test_fold_dot_bit_equals_jvm(spark):
+    """Every top-k scorer now runs through the Arrow pair scorer
+    (`_cosine_pairs_frame` / `_fold_dot`), whose contract is
+    BIT-identity with the JVM `aggregate(zip_with(...))` left fold it
+    replaced — not closeness. Pin the two against each other on
+    adversarial float data (9 orders of magnitude, sign flips: any
+    summation-order deviation shows up in the low bits here), at a
+    dim (37) that exercises the odd/non-power-of-two path."""
+    rng = np.random.default_rng(99)
+    n, dim = 64, 37
+    scale = 10.0 ** rng.integers(-4, 5, size=(n, dim))
+    qv = rng.standard_normal((n, dim)) * scale
+    cv = rng.standard_normal((n, dim)) * scale
+    pdf = pd.DataFrame(
+        {
+            "query_id": range(n),
+            "vec_id": range(n),
+            "qv": [r.tolist() for r in qv],
+            "cv": [r.tolist() for r in cv],
+            "qn": 1.0,
+            "cn": 1.0,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    jvm = {
+        r["vec_id"]: r["d"]
+        for r in df.select(
+            "vec_id", (sim._dot_expr("cv", "qv")).alias("d")
+        ).collect()
+    }
+    arrow = {
+        r["vec_id"]: r["cosine"]
+        for r in sim._cosine_pairs_frame(df).collect()  # qn=cn=1 -> raw dot
+    }
+    assert len(jvm) == n
+    for i in range(n):
+        assert jvm[i] == arrow[i], f"bit mismatch at row {i}: {jvm[i]!r} != {arrow[i]!r}"
+
+
 def test_ivf_train_deterministic(spark, emb):
     c1 = sim.ivf_train(emb, n_centroids=8, iters=2, seed=7)
     c2 = sim.ivf_train(emb.repartition(13), n_centroids=8, iters=2, seed=7)
