@@ -91,6 +91,43 @@ def test_fold_dot_bit_equals_jvm(spark):
         assert jvm[i] == arrow[i], f"bit mismatch at row {i}: {jvm[i]!r} != {arrow[i]!r}"
 
 
+def test_cosine_pairs_frame_infers_dim_and_rejects_ragged(spark):
+    """dim=None (the brute_force_topk path, which has no centroid
+    matrix to read the dimensionality from) infers dim from the first
+    row's offsets per batch; every other row is then validated against
+    it by _list_matrix, so a ragged pair frame still fails loudly
+    instead of reshaping wrong."""
+    ok = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": [0, 1],
+                "vec_id": [10, 11],
+                "qv": [[1.0, 0.0, 0.0], [0.0, 2.0, 0.0]],
+                "cv": [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]],
+                "qn": [1.0, 2.0],
+                "cn": [1.0, 1.0],
+            }
+        )
+    )
+    got = {r["vec_id"]: r["cosine"] for r in sim._cosine_pairs_frame(ok).collect()}
+    assert got == {10: 1.0, 11: 1.0}
+
+    ragged = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": [0, 1],
+                "vec_id": [10, 11],
+                "qv": [[1.0, 0.0], [0.0, 2.0, 0.0, 1.0]],  # 2+4 rows, dim looks like 2
+                "cv": [[1.0, 0.0], [0.0, 1.0, 0.0, 5.0]],
+                "qn": [1.0, 2.0],
+                "cn": [1.0, 1.0],
+            }
+        ).astype({"query_id": "int64"})
+    )
+    with pytest.raises(Exception):  # Spark surfaces the executor-side shape error
+        sim._cosine_pairs_frame(ragged.coalesce(1)).collect()
+
+
 def test_ivf_train_deterministic(spark, emb):
     c1 = sim.ivf_train(emb, n_centroids=8, iters=2, seed=7)
     c2 = sim.ivf_train(emb.repartition(13), n_centroids=8, iters=2, seed=7)
