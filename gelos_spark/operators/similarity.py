@@ -52,35 +52,77 @@ def brute_force_topk(
     qvec_col: str = "embedding",
     max_queries: int | None = 100_000,
 ) -> DataFrame:
-    """Exact cosine top-k: corpus x broadcast(queries) -> window.
-    Returns (query_id, rank, vec_id, cosine) ordered.
+    """Exact cosine top-k: corpus streamed ONCE against a broadcast
+    query matrix -> window. Returns (query_id, rank, vec_id, cosine)
+    ordered.
 
-    The query side BROADCASTS (the corpus streams once against it), so
-    it must be request-sized: more than ``max_queries`` rows raises —
-    a corpus-sized query table here would mean a broadcast OOM and an
-    all-pairs scan. Use ``lsh_topk`` or ``ivf_topk(...,
-    collect_queries=False)`` for corpus x corpus search, or pass
-    ``max_queries=None`` to skip the (one cheap action) guard."""
-    if max_queries is not None:
-        probe = queries.limit(max_queries + 1).count()
-        if probe > max_queries:
-            raise ValueError(
-                f"brute_force_topk broadcasts the query side: got > {max_queries} "
-                "query rows. For corpus-sized query sets use lsh_topk or "
-                "ivf_topk(collect_queries=False); raise max_queries (or pass "
-                "None) only if the broadcast genuinely fits."
+    The query side BROADCASTS (collected once, request-sized — the
+    bounded ``limit(max_queries+1).toPandas()`` probe IS the guard,
+    the knn_join pattern: zero extra Spark actions), so more than
+    ``max_queries`` rows raises. The corpus is scored by the block
+    kernel (`_block_cosine_batches`): each corpus vector crosses the
+    Arrow boundary once, pairs exist only as matrix indices inside
+    the kernel, and the output is scalars-only — the previous
+    crossJoin pair-expanded every corpus vector ``nq`` times through
+    the scorer. Scores stay bit-identical to the JVM fold. Use
+    ``lsh_topk`` or ``ivf_topk(..., collect_queries=False)`` for
+    corpus x corpus search; ``max_queries=None`` opts out of the
+    bound (the query side is still collected — only do this when it
+    genuinely fits on the driver)."""
+    import pyarrow as pa
+
+    spark = corpus.sparkSession
+
+    def _overflow():
+        raise ValueError(
+            f"brute_force_topk broadcasts the query side: got > {max_queries} "
+            "query rows. For corpus-sized query sets use lsh_topk or "
+            "ivf_topk(collect_queries=False); raise max_queries (or pass "
+            "None) only if the broadcast genuinely fits."
+        )
+
+    if max_queries is not None and (
+        qid_col not in queries.columns or qvec_col not in queries.columns
+    ):
+        # the guard fires before column resolution (a corpus-shaped
+        # frame passed as queries should hit the size bound, not an
+        # unresolved-column error)
+        if queries.limit(max_queries + 1).count() > max_queries:
+            _overflow()
+    q_src = queries.select(F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("qv"))
+    qpdf = (q_src if max_queries is None else q_src.limit(max_queries + 1)).toPandas()
+    if max_queries is not None and len(qpdf) > max_queries:
+        _overflow()
+    qidt = queries.schema[qid_col].dataType.simpleString()
+    vidt = corpus.schema[id_col].dataType.simpleString()
+    if len(qpdf) == 0:
+        return spark.createDataFrame(
+            [], f"query_id {qidt}, rank int, vec_id {vidt}, cosine double"
+        )
+    qm = np.stack([np.asarray(v, dtype=np.float64) for v in qpdf["qv"]])
+    bc = spark.sparkContext.broadcast((list(qpdf["query_id"]), qm, _fold_norms(qm)))
+    src = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"))
+
+    def fn(batches):
+        qids, Q, qn = bc.value
+        qid_arr = pa.array(qids)
+        dim = Q.shape[1]
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            C = _list_matrix(b.column("cv"), b.num_rows, dim)
+            schema = pa.schema(
+                [
+                    ("query_id", qid_arr.type),
+                    ("vec_id", b.column("vec_id").type),
+                    ("cosine", pa.float64()),
+                ]
             )
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"),
-                      _norm_expr(vec_col).alias("cn"))
-    q = queries.select(F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("qv"),
-                       _norm_expr(qvec_col).alias("qn"))
-    # score through the Arrow pair scorer (bit-identical to the JVM
-    # _dot_expr fold — _fold_dot, pinned by test_fold_dot_bit_equals_jvm;
-    # ~10x less time per pair, and the window that follows shuffles
-    # scalars, not vectors)
-    scored = _cosine_pairs_frame(
-        c.crossJoin(F.broadcast(q)).select("query_id", "vec_id", "qv", "cv", "qn", "cn")
-    )
+            yield from _block_cosine_batches(
+                b.column("vec_id"), C, _fold_norms(C), qid_arr, Q, qn, schema
+            )
+
+    scored = src.mapInArrow(fn, f"query_id {qidt}, vec_id {vidt}, cosine double")
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -167,6 +209,47 @@ def _cosine_pairs_frame(df: DataFrame, dim: int | None = None) -> DataFrame:
             )
 
     return df.mapInArrow(fn, f"query_id {qit}, vec_id {vit}, cosine double")
+
+
+def _fold_norms(m: np.ndarray) -> np.ndarray:
+    """Row norms in the exact fold order of the JVM ``_norm_expr``:
+    left-fold of squares, then sqrt (both IEEE-correctly-rounded, so
+    NumPy and the JVM produce the same bits)."""
+    acc = np.zeros(m.shape[0], dtype=np.float64)
+    for d in range(m.shape[1]):
+        acc += m[:, d] * m[:, d]
+    return np.sqrt(acc)
+
+
+def _block_cosine_batches(vec_arr, C, cn, qid_arr, Q, qn, out_schema, max_cells=4_000_000):
+    """Score EVERY (corpus row x query row) pair of one block as a
+    matrix — vectors enter once per side; pairs exist only as matrix
+    indices, never as materialized vector-carrying rows. The fold
+    order per pair is exactly `_fold_dot`'s (one outer-product add
+    per dimension), so each cosine is bit-identical to the pair
+    scorer and to the JVM fold. Queries are processed in chunks so
+    the accumulator never exceeds ~``max_cells`` doubles regardless
+    of block size. Yields scalar-only RecordBatches."""
+    import pyarrow as pa
+
+    nc, dim = C.shape
+    nq = Q.shape[0]
+    if nc == 0 or nq == 0:
+        return
+    step = max(1, max_cells // max(nc, 1))
+    for j0 in range(0, nq, step):
+        Qc, qnc = Q[j0 : j0 + step], qn[j0 : j0 + step]
+        nqc = Qc.shape[0]
+        acc = np.zeros((nc, nqc), dtype=np.float64)
+        for d in range(dim):
+            acc += np.multiply.outer(C[:, d], Qc[:, d])
+        cos = acc / np.multiply.outer(cn, qnc)
+        vi = pa.array(np.repeat(np.arange(nc, dtype=np.int64), nqc))
+        qi = pa.array(np.tile(np.arange(j0, j0 + nqc, dtype=np.int64), nc))
+        yield pa.RecordBatch.from_arrays(
+            [qid_arr.take(qi), vec_arr.take(vi), pa.array(cos.ravel())],
+            schema=out_schema,
+        )
 
 
 def _bucket_codes_frame(
@@ -268,6 +351,58 @@ def recall_at_k(ann: DataFrame, exact: DataFrame, k: int) -> float:
 
 
 # ----------------------------------------------------------------- IVF
+
+def _cogroup_block_scored(
+    index: DataFrame, qdf: DataFrame, qidt: str, vidt: str, dim: int
+) -> DataFrame:
+    """Score IVF candidates with a cogroup on the inverted-list id:
+    each cid's index vectors and probing queries meet ONCE as two
+    blocks, and the block kernel (`_block_cosine_batches`) scores the
+    full cross inside the task — the previous equi-join pair-expanded
+    both vectors into every candidate row before the scorer, shipping
+    ~(2 x dim) doubles per PAIR through Arrow; this ships each vector
+    once per probed list and emits scalars. Same candidate set (every
+    index row of a probed list x every query probing it), same bits
+    (the kernel keeps the `_fold_dot` order). At scale the shuffle is
+    the cid-bucketed layout `ivf_index` prescribes; a group must fit
+    a task (list size x dim doubles per side — bounded by n_centroids
+    sizing), and the accumulator is query-chunked inside the kernel."""
+    import pyarrow as pa
+
+    def score(left: pa.Table, right: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                ("query_id", right.schema.field("query_id").type),
+                ("vec_id", left.schema.field("vec_id").type),
+                ("cosine", pa.float64()),
+            ]
+        )
+        if left.num_rows == 0 or right.num_rows == 0:
+            return pa.Table.from_batches([], schema=schema)
+        C = _list_matrix(left.column("cv").combine_chunks(), left.num_rows, dim)
+        Q = _list_matrix(right.column("qv").combine_chunks(), right.num_rows, dim)
+        cn = np.asarray(left.column("cn").combine_chunks(), dtype=np.float64)
+        qn = np.asarray(right.column("qn").combine_chunks(), dtype=np.float64)
+        batches = list(
+            _block_cosine_batches(
+                left.column("vec_id").combine_chunks(),
+                C,
+                cn,
+                right.column("query_id").combine_chunks(),
+                Q,
+                qn,
+                schema,
+            )
+        )
+        return pa.Table.from_batches(batches, schema=schema)
+
+    return (
+        index.select("vec_id", "cv", "cn", "cid")
+        .groupBy("cid")
+        .cogroup(qdf.select("query_id", "qv", "qn", "cid").groupBy("cid"))
+        .applyInArrow(score, f"query_id {qidt}, vec_id {vidt}, cosine double")
+    )
+
 
 def _assign_frame(
     df: DataFrame, id_col: str, vec_col: str, centroids: np.ndarray
@@ -451,10 +586,11 @@ def ivf_topk(
         ]
     )
     qdf = spark.createDataFrame(probes, schema).withColumn("qn", _norm_expr("qv"))
-    cand = _cosine_pairs_frame(
-        index.join(F.broadcast(qdf), "cid").select(
-            "query_id", "vec_id", "qv", "cv", "qn", "cn"
-        ),
+    cand = _cogroup_block_scored(
+        index,
+        qdf,
+        qidt=qid_type.simpleString(),
+        vidt=index.schema["vec_id"].dataType.simpleString(),
         dim=int(centroids.shape[1]),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
@@ -520,8 +656,11 @@ def _ivf_topk_distributed(
         .drop("__probes")
         .withColumn("qn", _norm_expr("qv"))
     )
-    cand = _cosine_pairs_frame(
-        index.join(qdf, "cid").select("query_id", "vec_id", "qv", "cv", "qn", "cn"),
+    cand = _cogroup_block_scored(
+        index,
+        qdf,
+        qidt=qidt,
+        vidt=index.schema["vec_id"].dataType.simpleString(),
         dim=dim,
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())

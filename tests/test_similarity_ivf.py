@@ -91,6 +91,56 @@ def test_fold_dot_bit_equals_jvm(spark):
         assert jvm[i] == arrow[i], f"bit mismatch at row {i}: {jvm[i]!r} != {arrow[i]!r}"
 
 
+def test_block_cosine_bit_equals_jvm_fold(spark):
+    """`brute_force_topk` and the IVF cogroup scorer score whole
+    blocks through `_block_cosine_batches` (one outer-product add per
+    dimension). Its contract is the same BIT-identity with the JVM
+    fold that `_fold_dot` carries — the self-search equality test
+    can't prove it alone because both sides of that comparison share
+    this kernel. Pin the block kernel's full nc x nq cross (with
+    query chunking forced via a tiny max_cells, so the chunk seams
+    are exercised) against the JVM `_dot_expr`/`_norm_expr` cosine on
+    adversarial floats spanning 9 orders of magnitude."""
+    import pyarrow as pa
+
+    rng = np.random.default_rng(101)
+    nc, nq, dim = 23, 11, 37
+    C = rng.standard_normal((nc, dim)) * 10.0 ** rng.integers(-4, 5, size=(nc, dim))
+    Q = rng.standard_normal((nq, dim)) * 10.0 ** rng.integers(-4, 5, size=(nq, dim))
+    schema = pa.schema(
+        [("query_id", pa.int64()), ("vec_id", pa.int64()), ("cosine", pa.float64())]
+    )
+    got = {}
+    for b in sim._block_cosine_batches(
+        pa.array(np.arange(nc)), C, sim._fold_norms(C),
+        pa.array(np.arange(nq)), Q, sim._fold_norms(Q),
+        schema, max_cells=64,  # step=2 queries per chunk at nc=23
+    ):
+        qs, vs, cs = (col.to_pylist() for col in b.columns)
+        got.update(zip(zip(qs, vs), cs))
+    assert len(got) == nc * nq
+    j = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(nc), "cv": [r.tolist() for r in C]})
+    ).crossJoin(
+        spark.createDataFrame(
+            pd.DataFrame({"query_id": range(nq), "qv": [r.tolist() for r in Q]})
+        )
+    )
+    jvm = {
+        (r["query_id"], r["vec_id"]): r["c"]
+        for r in j.select(
+            "query_id",
+            "vec_id",
+            (
+                sim._dot_expr("cv", "qv")
+                / (sim._norm_expr("cv") * sim._norm_expr("qv"))
+            ).alias("c"),
+        ).collect()
+    }
+    for key, val in jvm.items():
+        assert got[key] == val, f"bit mismatch at {key}: {got[key]!r} != {val!r}"
+
+
 def test_cosine_pairs_frame_infers_dim_and_rejects_ragged(spark):
     """dim=None (the brute_force_topk path, which has no centroid
     matrix to read the dimensionality from) infers dim from the first
