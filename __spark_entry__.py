@@ -1486,6 +1486,54 @@ def _fmt_latlon(spark, sf_dir):
 
 
 @_q(
+    "near_dup_components",
+    # pairs -> transitive duplicate clusters (operators/dedup
+    # .connected_components, large-star/small-star contraction;
+    # dedup_near's survivor selection sits on top). Edge set: the
+    # banded-Hamming join over a derived fingerprint designed so
+    # CONSECUTIVE docs chain within groups of 16 (hamming 2; doc i vs
+    # i+2 is hamming 4 — NOT an edge; distinct groups differ in >= 3
+    # triplicated high bits), so components are path graphs of
+    # diameter 15 that only transitive closure recovers. Oracle: the
+    # same edges + a recursive-CTE min-reachability fixpoint in
+    # DuckDB. doc_id < 512 bounds both sides at every sf. Registered
+    # past the driver window (slots are full) — verified by
+    # scripts/check_oracle.py + tests/test_past_window_oracles.py.
+    "WITH RECURSIVE "
+    "h AS (SELECT doc_id, 3 * (CAST(1 AS BIGINT) << CAST(doc_id % 16 AS INTEGER)) "
+    "+ ((doc_id // 16) % 2) * 7340032 "
+    "+ (((doc_id // 16) // 2) % 2) * 58720256 "
+    "+ (((doc_id // 16) // 4) % 2) * 469762048 "
+    "+ (((doc_id // 16) // 8) % 2) * 3758096384 "
+    "+ (((doc_id // 16) // 16) % 2) * 30064771072 AS fp "
+    "FROM documents WHERE doc_id < 512), "
+    "e AS (SELECT a.doc_id AS u, b.doc_id AS v FROM h a JOIN h b "
+    "ON a.doc_id < b.doc_id AND bit_count(xor(a.fp, b.fp)) <= 2), "
+    "sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e), "
+    "reach(id, r) AS ("
+    "SELECT u, u FROM sym "
+    "UNION "
+    "SELECT s.u, reach.r FROM sym s JOIN reach ON s.v = reach.id) "
+    "SELECT id, MIN(r) AS component FROM reach GROUP BY id ORDER BY id",
+)
+def _near_dup_components(spark, sf_dir):
+    (docs,) = _tables(spark, sf_dir, "documents")
+    fp = docs.where("doc_id < 512").select(
+        "doc_id",
+        F.expr(
+            "3 * shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 16 AS INT))"
+            " + ((doc_id div 16) % 2) * CAST(7340032 AS BIGINT)"
+            " + (((doc_id div 16) div 2) % 2) * CAST(58720256 AS BIGINT)"
+            " + (((doc_id div 16) div 4) % 2) * CAST(469762048 AS BIGINT)"
+            " + (((doc_id div 16) div 8) % 2) * CAST(3758096384 AS BIGINT)"
+            " + (((doc_id div 16) div 16) % 2) * CAST(30064771072 AS BIGINT)"
+        ).alias("fp"),
+    )
+    pairs = dedup.hamming_hash_pairs(fp, "doc_id", "fp", max_hamming=2)
+    return dedup.connected_components(pairs)
+
+
+@_q(
     "location_encode",
     # G2's second encoder (lat first half, lon second — reference
     # models/prithvi_eo_v2.py:203-229), same dim-8 omega layout as

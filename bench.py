@@ -219,6 +219,20 @@ def main():
         in_headline=False,
     )
 
+    # near-dup clustering end to end: simhash pairs over the full
+    # documents table -> large-star/small-star connected components ->
+    # one survivor per duplicate cluster (dedup_near). Measured since
+    # r6 (new operator), outside the headline sum like the other
+    # post-r1 keys; cost = corpus simhash + 2-3 scalar-edge
+    # contraction rounds.
+    docs_tbl = documents.select("doc_id", "text")
+
+    def dedup_cc_pipeline():
+        prs = dedup.simhash_pairs(docs_tbl, max_hamming=6)
+        materialize(dedup.dedup_near(docs_tbl, prs, keep="canonical"))
+
+    run("q_dedup_cc", dedup_cc_pipeline, in_headline=False)
+
     # ---- skew demo (north rule: "skew from dense urban cells is
     # handled with explicit salting + AQE skew-join hints"). A
     # synthetic dense-cell distribution: ~90% of the lineitem-derived

@@ -559,3 +559,141 @@ def embedding_dup_pairs(
     from gelos_spark.plans.materialize import finalize
 
     return finalize(out, checkpoint, caches=[e])
+
+
+# ------------------------------------------- pairs -> components -> survivors
+
+
+def connected_components(
+    pairs: DataFrame,
+    left: str = "id_a",
+    right: str = "id_b",
+    max_rounds: int = 25,
+    checkpoint: bool | str = True,
+) -> DataFrame:
+    """Near-dup pairs -> ``(id, component)`` for every id appearing in
+    ``pairs``; ``component`` is the MIN id of the connected component.
+    The missing half of near-dedup: every pair operator in this module
+    emits edges, and transitive grouping (a~b, b~c => {a,b,c}) is what
+    lets a pipeline keep one survivor per duplicate CLUSTER rather
+    than per pair (``dedup_near`` below composes the two).
+
+    Algorithm: alternating large-star / small-star contraction (the
+    public MapReduce connected-components algorithm of Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) instead
+    of min-label propagation — propagation needs O(graph diameter)
+    rounds, so a 10k-document duplication CHAIN would take 10k
+    shuffles, while star contraction converges in O(log^2 n) rounds on
+    any graph (2-3 rounds for typical near-dup clusters). 100 TB
+    shape: every round is groupBy/join/distinct over SCALAR id pairs
+    (payloads never enter), the edge frame is localCheckpoint'ed per
+    round so iterative lineage never compounds, and the only driver
+    action per round is one (count, xor-hash) fixpoint probe — the
+    same convergence-probe pattern as ``ivf_train``'s Lloyd loop.
+
+    No reference analog (the reference's dedup is exact-path only —
+    SURVEY §2 training-data family)."""
+    spark = pairs.sparkSession
+    idt = pairs.schema[left].dataType.simpleString()
+
+    # canonical "down" edges (u > v); self-pairs dropped
+    edges = (
+        pairs.select(
+            F.greatest(F.col(left), F.col(right)).alias("u"),
+            F.least(F.col(left), F.col(right)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+        .localCheckpoint(eager=True)
+    )
+
+    def probe(e: DataFrame) -> tuple:
+        row = e.select(
+            F.count("*").alias("n"), F.bit_xor(F.xxhash64("u", "v")).alias("h")
+        ).first()
+        return (row["n"], row["h"])
+
+    if probe(edges)[0] == 0:
+        return spark.createDataFrame([], f"id {idt}, component {idt}")
+
+    prev = None
+    for _ in range(max_rounds):
+        # large-star: for each node u, link every LARGER neighbor v to
+        # m(u) = min(neighbors(u) + {u}); needs full neighborhoods
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
+            "u", F.least("mn", "u").alias("m")
+        )
+        large = (
+            sym.where(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))  # v > u >= m
+            .dropDuplicates(["u", "v"])
+        )
+        # small-star: for each node u of the (canonical, all v < u)
+        # large output, link u and every down-neighbor to the minimum
+        m2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        j = large.join(m2, "u")
+        nxt = (
+            j.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))  # v >= m; drop the root self-link
+            .union(j.select("u", F.col("m").alias("v")))  # u > m always
+            .dropDuplicates(["u", "v"])
+            .localCheckpoint(eager=True)
+        )
+        edges = nxt
+        cur = probe(edges)
+        if cur == prev:  # fixpoint: every edge is (node, component-min)
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds "
+            "(star contraction needs ~log^2 n; raise max_rounds)"
+        )
+
+    roots = edges.select(F.col("v").alias("id"), F.col("v").alias("component"))
+    out = (
+        edges.select(F.col("u").alias("id"), F.col("v").alias("component"))
+        .union(roots)
+        .groupBy("id")
+        .agg(F.min("component").alias("component"))
+        .orderBy("id")
+    )
+    from gelos_spark.plans.materialize import finalize
+
+    return finalize(out, checkpoint)
+
+
+def dedup_near(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    left: str = "id_a",
+    right: str = "id_b",
+    keep: str = "all",
+    checkpoint: bool | str = True,
+) -> DataFrame:
+    """Corpus + near-dup pairs -> the corpus annotated with
+    ``component`` (min id of the duplicate cluster; own id when
+    unpaired) and ``is_canonical``; ``keep="canonical"`` instead
+    returns ONE deterministic survivor per cluster (the min id) —
+    the near-dup twin of ``dedup_exact``'s survivor choice. The
+    component map covers only paired ids, so the join's small side is
+    the duplicate set, not the corpus (AQE broadcasts it when it
+    fits)."""
+    if keep not in ("all", "canonical"):
+        raise ValueError(f"keep must be 'all' or 'canonical', got {keep!r}")
+    comp = connected_components(pairs, left, right, checkpoint=True)
+    out = (
+        df.join(comp.withColumnRenamed("id", id_col), id_col, "left")
+        .withColumn("component", F.coalesce("component", F.col(id_col)))
+        .withColumn("is_canonical", F.col("component") == F.col(id_col))
+    )
+    if keep == "canonical":
+        out = out.where("is_canonical").drop("is_canonical")
+    from gelos_spark.plans.materialize import finalize
+
+    return finalize(out.orderBy(id_col), checkpoint)

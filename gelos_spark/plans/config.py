@@ -340,6 +340,40 @@ def _op_simhash_pairs(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFr
     )
 
 
+@op("connected_components", needs_input=True)
+def _op_connected_components(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
+    """A pairs stage -> (id, component): transitive duplicate
+    clusters via large-star/small-star contraction (operators/dedup)."""
+    from gelos_spark.operators import dedup
+
+    return dedup.connected_components(
+        conf["__input__"],
+        left=conf.get("left", "id_a"),
+        right=conf.get("right", "id_b"),
+        max_rounds=int(conf.get("max_rounds", 25)),
+        checkpoint=conf.get("checkpoint", True),
+    )
+
+
+@op("dedup_near", required=("pairs",), needs_input=True)
+def _op_dedup_near(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
+    """Input corpus + a committed pairs stage (``pairs: <stage name>``)
+    -> corpus annotated with (component, is_canonical), or one
+    survivor per duplicate cluster with ``keep: canonical`` — the
+    near-dup twin of the dedup_exact op."""
+    from gelos_spark.operators import dedup
+
+    return dedup.dedup_near(
+        conf["__input__"],
+        pipe.output(conf["pairs"]),
+        id_col=conf.get("id_col", "doc_id"),
+        left=conf.get("left", "id_a"),
+        right=conf.get("right", "id_b"),
+        keep=conf.get("keep", "all"),
+        checkpoint=conf.get("checkpoint", True),
+    )
+
+
 @op("ann_topk", required=("k",), needs_input=True)
 def _op_ann_topk(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
     """Similarity search as a pipeline stage over an embedding frame:

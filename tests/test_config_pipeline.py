@@ -445,3 +445,45 @@ def test_ann_topk_rejects_empty_and_oversized_query_ids(spark, tmp_path):
             conf("g2", {"k": 5, "query_ids": list(range(11)), "max_query_ids": 10}),
             root=str(tmp_path / "r2"),
         )
+
+
+def test_dedup_near_pipeline(spark, tmp_path):
+    """docs -> simhash pairs -> survivor selection through the config
+    surface: the dedup_near op joins its input corpus with a committed
+    pairs stage (``pairs: <stage>``) and must equal the engine-level
+    composition row for row."""
+    conf = yaml.safe_load(
+        """
+run_id: dn1
+stages:
+  - name: docs
+    op: read_parquet
+    args: {path: /root/testdata/sf0.001/documents.parquet, columns: [doc_id, text]}
+  - name: pairs
+    op: simhash_pairs
+    input: docs
+    args: {max_hamming: 6}
+  - name: survivors
+    op: dedup_near
+    input: docs
+    args: {pairs: pairs, keep: canonical}
+"""
+    )
+    pipe = cfg.build_pipeline(spark, conf, root=str(tmp_path / "run"))
+    assert pipe.executed == ["docs", "pairs", "survivors"]
+
+    from gelos_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    pairs = dedup.simhash_pairs(docs, max_hamming=6)
+    exp = dedup.dedup_near(docs, pairs, keep="canonical")
+    got = pipe.output("survivors")
+    assert got.columns == exp.columns
+    assert sorted(map(tuple, got.select("doc_id", "component").collect())) == sorted(
+        map(tuple, exp.select("doc_id", "component").collect())
+    )
+    # one survivor per component, never more rows than docs
+    assert got.select("component").distinct().count() == got.count()
+    assert got.count() <= docs.count()

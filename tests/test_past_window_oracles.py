@@ -1,8 +1,10 @@
 """The driver's correctness gate records only the first 50 registered
-queries; three oracle-backed queries live past that window
-(fmt_latlon, location_encode, array_repeat_concat — see
-__spark_entry__.py's rows-only section; round 6 rotated hamming_pairs
-INTO the window and array_repeat_concat out). Their DuckDB-exactness
+queries; four oracle-backed queries live past that window
+(fmt_latlon, location_encode, array_repeat_concat,
+near_dup_components — see __spark_entry__.py's rows-only section;
+round 6 rotated hamming_pairs INTO the window, array_repeat_concat
+out, and added near_dup_components with a recursive-CTE DuckDB
+oracle). Their DuckDB-exactness
 was previously checked only when scripts/check_oracle.py was run by
 hand; this test runs the same compare (same canon, same oracle SQL) at
 sf0.001 inside the suite so the evidence regenerates every round.
@@ -29,7 +31,12 @@ check_oracle = importlib.util.module_from_spec(_spec)
 _spec.loader.exec_module(check_oracle)
 
 SF_DIR = "/root/testdata/sf0.001"
-PAST_WINDOW_ORACLE_QUERIES = ["fmt_latlon", "location_encode", "array_repeat_concat"]
+PAST_WINDOW_ORACLE_QUERIES = [
+    "fmt_latlon",
+    "location_encode",
+    "array_repeat_concat",
+    "near_dup_components",
+]
 
 
 @pytest.fixture(scope="module")
@@ -44,7 +51,7 @@ def duck():
 
 
 def test_past_window_queries_have_oracles():
-    """The 3 names this file guards must still be registered past the
+    """The names this file guards must still be registered past the
     window WITH oracle SQL — if a future slot rotation renames one,
     this fails loudly instead of silently un-checking it."""
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
