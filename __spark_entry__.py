@@ -1457,9 +1457,11 @@ def _config_pipeline(spark, sf_dir):
 # slot to temporal_encode in round 4, array_repeat_concat gave up its
 # slot to hamming_pairs in round 6 (judge-suggested swaps); both keep
 # their DuckDB oracles so scripts/check_oracle.py and
-# tests/test_past_window_oracles.py still verify them every round.
-# The rest have no SQL analog (each carries a real pytest oracle
-# instead) — the oracle-backed queries above own the slots.
+# tests/test_past_window_oracles.py still verify them every round;
+# near_dup_components (new r6) was BORN past-window with a
+# recursive-CTE oracle (slots are full, no window query is weaker
+# than it). The rest have no SQL analog (each carries a real pytest
+# oracle instead) — the oracle-backed queries above own the slots.
 
 
 @_q(

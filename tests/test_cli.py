@@ -115,7 +115,28 @@ def test_shipped_training_data_config_runs_end_to_end(spark, tmp_path):
     from gelos_spark.plans.checkpoint import Pipeline
 
     pipe = Pipeline(spark, root, "training_data_v1")
-    assert pipe.log.lineage("training_data_v1").where("status = 'done'").count() == 12
+    assert pipe.log.lineage("training_data_v1").where("status = 'done'").count() == 13
+
+    # docs branch: the survivors stage keeps one doc per duplicate
+    # CLUSTER — pinned against a union-find over the committed pairs
+    n_docs = pipe.output("docs").count()
+    parent = {}
+
+    def _find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pipe.output("near_dups").collect():
+        ra, rb = _find(r.id_a), _find(r.id_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    n_removed = len(parent) - len({_find(x) for x in parent})
+    surv = pipe.output("survivors")
+    assert surv.count() == n_docs - n_removed
+    assert surv.where("component = doc_id").count() == surv.count()
 
     # image branch pins (seeded synth -> deterministic)
     stats = pipe.output("img_stats").collect()
@@ -135,4 +156,4 @@ def test_shipped_training_data_config_runs_end_to_end(spark, tmp_path):
     # second invocation resume-skips: no duplicate lineage
     assert cli.main(["run", "jobs/training_data.yaml", "--root", root,
                      "--keep-session"]) == 0
-    assert pipe.log.lineage("training_data_v1").where("status = 'done'").count() == 12
+    assert pipe.log.lineage("training_data_v1").where("status = 'done'").count() == 13
