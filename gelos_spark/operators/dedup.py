@@ -590,6 +590,11 @@ def connected_components(
     round so iterative lineage never compounds, and the only driver
     action per round is one (count, xor-hash) fixpoint probe — the
     same convergence-probe pattern as ``ivf_train``'s Lloyd loop.
+    Superseded rounds' checkpoint blocks are freed by the context
+    cleaner when their frames go out of scope (the engine-wide
+    localCheckpoint policy, plans/materialize.py) — transient peak
+    storage is O(rounds x |edges|) of SCALAR pairs between GCs, a
+    few id-pair copies, not payload data.
 
     No reference analog (the reference's dedup is exact-path only —
     SURVEY §2 training-data family)."""

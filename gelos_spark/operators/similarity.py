@@ -57,7 +57,7 @@ def brute_force_topk(
     ordered.
 
     The query side BROADCASTS (collected once, request-sized — the
-    bounded ``limit(max_queries+1).toPandas()`` probe IS the guard,
+    bounded ``limit(max_queries+1).toArrow()`` probe IS the guard,
     the knn_join pattern: zero extra Spark actions), so more than
     ``max_queries`` rows raises. The corpus is scored by the block
     kernel (`_block_cosine_batches`): each corpus vector crosses the
@@ -90,22 +90,29 @@ def brute_force_topk(
         if queries.limit(max_queries + 1).count() > max_queries:
             _overflow()
     q_src = queries.select(F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("qv"))
-    qpdf = (q_src if max_queries is None else q_src.limit(max_queries + 1)).toPandas()
-    if max_queries is not None and len(qpdf) > max_queries:
+    # toArrow keeps the Spark column types faithfully (a pandas round
+    # trip re-infers e.g. int32 ids as int64 and the emitted batches
+    # would mismatch the declared mapInArrow schema), and the vectors
+    # land as ONE ListArray -> _list_matrix, no per-row stack
+    qtbl = (q_src if max_queries is None else q_src.limit(max_queries + 1)).toArrow()
+    if max_queries is not None and qtbl.num_rows > max_queries:
         _overflow()
     qidt = queries.schema[qid_col].dataType.simpleString()
     vidt = corpus.schema[id_col].dataType.simpleString()
-    if len(qpdf) == 0:
+    if qtbl.num_rows == 0:
         return spark.createDataFrame(
             [], f"query_id {qidt}, rank int, vec_id {vidt}, cosine double"
         )
-    qm = np.stack([np.asarray(v, dtype=np.float64) for v in qpdf["qv"]])
-    bc = spark.sparkContext.broadcast((list(qpdf["query_id"]), qm, _fold_norms(qm)))
+    qv = qtbl.column("qv").combine_chunks()
+    qoff = np.asarray(qv.offsets, dtype=np.int64)
+    qm = _list_matrix(qv, qtbl.num_rows, int(qoff[1] - qoff[0]))
+    bc = spark.sparkContext.broadcast(
+        (qtbl.column("query_id").combine_chunks(), qm, _fold_norms(qm))
+    )
     src = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"))
 
     def fn(batches):
-        qids, Q, qn = bc.value
-        qid_arr = pa.array(qids)
+        qid_arr, Q, qn = bc.value
         dim = Q.shape[1]
         for b in batches:
             if b.num_rows == 0:
@@ -151,7 +158,16 @@ def _list_matrix(v, num_rows: int, dim: int) -> np.ndarray:
         ok = lens.size == num_rows and bool(np.all(lens == dim))
     if ok:
         return np.asarray(v.flatten(), dtype=np.float64).reshape(num_rows, dim)
-    return np.stack([np.asarray(x, dtype=np.float64) for x in v.to_pylist()])
+    m = np.stack([np.asarray(x, dtype=np.float64) for x in v.to_pylist()])
+    if m.shape != (num_rows, dim):
+        # uniform rows of the WRONG length stack fine — without this
+        # check a corpus/query dimension mismatch would score only the
+        # overlapping prefix and return plausible-but-wrong cosines
+        raise ValueError(
+            f"vector column has shape {m.shape}, expected ({num_rows}, {dim}): "
+            "corpus and query embeddings must share one dimensionality"
+        )
+    return m
 
 
 def _fold_dot(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -358,15 +374,22 @@ def _cogroup_block_scored(
     """Score IVF candidates with a cogroup on the inverted-list id:
     each cid's index vectors and probing queries meet ONCE as two
     blocks, and the block kernel (`_block_cosine_batches`) scores the
-    full cross inside the task — the previous equi-join pair-expanded
-    both vectors into every candidate row before the scorer, shipping
+    full cross inside the task — an equi-join would pair-expand both
+    vectors into every candidate row before the scorer, shipping
     ~(2 x dim) doubles per PAIR through Arrow; this ships each vector
     once per probed list and emits scalars. Same candidate set (every
     index row of a probed list x every query probing it), same bits
-    (the kernel keeps the `_fold_dot` order). At scale the shuffle is
-    the cid-bucketed layout `ivf_index` prescribes; a group must fit
-    a task (list size x dim doubles per side — bounded by n_centroids
-    sizing), and the accumulator is query-chunked inside the kernel."""
+    (the kernel keeps the `_fold_dot` order).
+
+    This is the CORPUS x CORPUS regime's scorer (`_ivf_topk_distributed`
+    — the query side is itself a table and most lists are probed, so
+    the cid shuffle it costs is the bucketed layout `ivf_index`
+    prescribes anyway): a group must fit a task (list size x dim
+    doubles per side — bounded by n_centroids sizing), and the
+    accumulator is query-chunked inside the kernel. The request-sized
+    driver-probe path keeps the broadcast equi-join + pair scorer
+    instead — broadcasting a handful of probes streams the index with
+    zero shuffle, which a cogroup cannot do."""
     import pyarrow as pa
 
     def score(left: pa.Table, right: pa.Table) -> pa.Table:
@@ -586,11 +609,15 @@ def ivf_topk(
         ]
     )
     qdf = spark.createDataFrame(probes, schema).withColumn("qn", _norm_expr("qv"))
-    cand = _cogroup_block_scored(
-        index,
-        qdf,
-        qidt=qid_type.simpleString(),
-        vidt=index.schema["vec_id"].dataType.simpleString(),
+    # request-sized probes BROADCAST: the index streams with ZERO
+    # shuffle and only probed-list candidates reach the pair scorer —
+    # a cogroup here would shuffle the whole corpus-sized index by cid
+    # to serve a handful of queries. The cogroup block scorer is the
+    # corpus x corpus regime's tool (_ivf_topk_distributed).
+    cand = _cosine_pairs_frame(
+        index.join(F.broadcast(qdf), "cid").select(
+            "query_id", "vec_id", "qv", "cv", "qn", "cn"
+        ),
         dim=int(centroids.shape[1]),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())

@@ -396,20 +396,23 @@ def _op_ann_topk(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
     id_col = conf.get("id_col", "vec_id")
     vec_col = conf.get("vec_col", "embedding")
     qids = conf.get("query_ids")
-    if qids is not None and len(list(qids)) == 0:
+    # materialize ONCE: a generator/iterator conf value would be
+    # exhausted by the first guard and silently reach isin([]) below
+    qids = None if qids is None else list(qids)
+    if qids is not None and len(qids) == 0:
         raise ValueError(
             "ann_topk: query_ids is an empty list — refusing to silently fall "
             "back to full corpus x corpus self-search; omit the key (or set it "
             "to null) if self-search is intended"
         )
     max_qids = int(conf.get("max_query_ids", 10_000))
-    if qids is not None and len(list(qids)) > max_qids:
+    if qids is not None and len(qids) > max_qids:
         raise ValueError(
-            f"ann_topk: {len(list(qids))} query_ids > max_query_ids={max_qids} "
+            f"ann_topk: {len(qids)} query_ids > max_query_ids={max_qids} "
             "(the list becomes a broadcast isin filter; corpus-sized query "
             "sets should use the self-search path or a join-based filter)"
         )
-    queries = df.where(F.col(id_col).isin(list(qids))) if qids else df
+    queries = df.where(F.col(id_col).isin(qids)) if qids else df
     k = int(conf["k"])
     seed = int(conf.get("seed", 42))
     method = conf.get("method", "lsh")

@@ -308,3 +308,33 @@ def test_lsh_topk_sparse_partitions(spark):
     got = ann.merge(exact, on=["query_id", "vec_id", "cosine"])
     # with 16 tables on 3 vectors the union of buckets is the full set
     assert len(exact) == 3 and len(got) == len(ann) == 3
+
+
+def test_brute_force_topk_rejects_dim_mismatch(spark):
+    """Corpus and query embeddings of different dimensionality must
+    fail loudly — uniform rows of the WRONG length pass the ragged
+    offsets check and would otherwise score only the overlapping
+    prefix into plausible-but-wrong cosines (round-6 review)."""
+    corpus = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0]) for i in range(8)], "vec_id long, embedding array<double>"
+    )
+    q = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "query_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="dimensionality|shape"):
+        sim.brute_force_topk(corpus, q, k=2).collect()
+
+
+def test_brute_force_topk_keeps_narrow_id_types(spark):
+    """int32 query ids must survive the broadcast round-trip: the
+    query side is collected via toArrow (type-faithful), so the
+    emitted batches match the declared mapInArrow schema."""
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(6)], "vec_id long, embedding array<double>"
+    )
+    q = spark.range(2).selectExpr(
+        "CAST(id AS INT) AS query_id", "array(CAST(id AS DOUBLE), 1.0D) AS embedding"
+    )
+    out = sim.brute_force_topk(corpus, q, k=3)
+    assert out.schema["query_id"].dataType.simpleString() == "int"
+    assert out.count() == 6

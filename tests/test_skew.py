@@ -86,3 +86,26 @@ def test_salt_spreads_hot_key(spark):
     assert n_salts == 8  # hot key fanned out across 8 shuffle keys
     cold = df.where(F.col("k") != 0).select(skew.SALT_COL).distinct().collect()
     assert [r[skew.SALT_COL] for r in cold] == [0]
+
+
+def test_explicit_hot_default_nsalt_never_disables_salting(spark):
+    """A caller-pinned hot set with default n_salt must get
+    DEFAULT_SALT and skip the pre-pass — deriving n_salt from a table
+    whose OBSERVED counts show no skew would return 1 and silently
+    disable the salting the caller asked for (round-6 review)."""
+    assert skew._resolve_salting(None, "k", [42], None) == ([42], skew.DEFAULT_SALT)
+    assert skew._resolve_salting(None, "k", [42], 4) == ([42], 4)
+
+    # end-to-end: UNskewed fact, explicit hot -> the hot key still
+    # fans out (and the join stays exact)
+    fact = spark.range(0, 200).selectExpr("id AS uid", "CAST(id % 10 AS INT) AS k")
+    dim = spark.range(0, 10).selectExpr("CAST(id AS INT) AS k", "id * 100 AS dv")
+    salted = skew.with_salt(fact, "k", *skew._resolve_salting(None, "k", [3], None), uid="uid")
+    spread = salted.where(F.col("k") == 3).select(skew.SALT_COL).distinct().count()
+    assert spread > 1  # NOT the single-reducer degenerate case
+    plain = sorted((r.uid, r.dv) for r in fact.join(dim, "k").collect())
+    got = sorted(
+        (r.uid, r.dv)
+        for r in skew.salted_join(fact, dim, "k", uid="uid", hot=[3]).collect()
+    )
+    assert got == plain
