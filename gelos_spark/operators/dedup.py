@@ -609,7 +609,13 @@ def connected_components(
         )
         .where(F.col("u") != F.col("v"))
         .dropDuplicates(["u", "v"])
-        .localCheckpoint(eager=True)
+        # lazy: the fixpoint probe right below is the first action, so
+        # the checkpoint materializes inside the probe's job — one
+        # fewer driver-scheduled job per round (measured: 96 -> 87
+        # jobs on a 64-chain; wall-clock neutral at test scale where
+        # AQE stage jobs dominate, but on a busy cluster scheduler
+        # every saved job is queue latency)
+        .localCheckpoint(eager=False)
     )
 
     def probe(e: DataFrame) -> tuple:
@@ -646,7 +652,7 @@ def connected_components(
             .where(F.col("u") != F.col("v"))  # v >= m; drop the root self-link
             .union(j.select("u", F.col("m").alias("v")))  # u > m always
             .dropDuplicates(["u", "v"])
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # materialized by the probe
         )
         edges = nxt
         cur = probe(edges)
