@@ -147,3 +147,14 @@ def test_components_over_real_pair_operator(spark):
         for r in dedup.connected_components(pairs).collect()
     }
     assert got == {i: (i // 8) * 8 for i in range(64)}
+
+
+def test_long_chain_pins_logarithmic_convergence(spark):
+    """A 512-node path (diameter 511): min-label propagation would
+    need 511 rounds; star contraction must converge within the
+    default max_rounds=25 (it raises otherwise) — this pins the
+    O(log^2 n) round-complexity claim, not just correctness."""
+    edges = [(i, i + 1) for i in range(511)]
+    out = dedup.connected_components(_pairs_df(spark, edges)).collect()
+    assert len(out) == 512
+    assert {r["component"] for r in out} == {0}
