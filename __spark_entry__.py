@@ -1536,6 +1536,36 @@ def _near_dup_components(spark, sf_dir):
 
 
 @_q(
+    "hash_split_assign",
+    # deterministic train/val/test split (functions/sampling
+    # .hash_split: id-hash bucket -> cumulative weight thresholds;
+    # partitioning/resume-invariant, unlike RNG randomSplit). The
+    # contract run swaps the default xxhash bucket for a portable
+    # Knuth multiplicative mix both engines evaluate exactly in
+    # signed 64-bit (doc_id < 100000 bounds the product well under
+    # 2^63), so the threshold/CASE logic — the operator — is
+    # DuckDB-oracle-verified end to end; the default xxhash bucket
+    # path is pinned by tests/test_sampling.py. Past-window (slots
+    # full), verified by check_oracle + test_past_window_oracles.
+    "SELECT doc_id, CASE "
+    "WHEN (doc_id * 2654435761) % 1000000 < 800000 THEN 'train' "
+    "WHEN (doc_id * 2654435761) % 1000000 < 900000 THEN 'val' "
+    "ELSE 'test' END AS split "
+    "FROM documents WHERE doc_id < 100000 ORDER BY doc_id",
+)
+def _hash_split_assign(spark, sf_dir):
+    from gelos_spark.functions import sampling
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    src = docs.where("doc_id < 100000").select("doc_id")
+    bucket = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1_000_000))
+    out = sampling.hash_split(
+        src, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, bucket_expr=bucket
+    )
+    return out.orderBy("doc_id")
+
+
+@_q(
     "location_encode",
     # G2's second encoder (lat first half, lon second — reference
     # models/prithvi_eo_v2.py:203-229), same dim-8 omega layout as

@@ -1,0 +1,104 @@
+"""Deterministic hash-based splitting & sampling for training-data
+pipelines (driver brief: operations a large-scale training-data
+pipeline needs, alongside the dedup/similarity families).
+
+Why hash-based instead of ``df.randomSplit`` / ``df.sample``: RNG
+sampling is seeded per-partition, so the assignment of a given row
+changes with partitioning, cluster size, and upstream operator order —
+a resume or a repartition silently reshuffles train/val/test and leaks
+eval rows into training. Hashing the row ID instead makes the split a
+pure column expression: stable across runs, partitionings and engine
+versions, scan-speed (whole-stage codegen), zero shuffle, and
+trivially resumable. This is the standard practice for large corpus
+splits (e.g. per-document hash bucketing in public web-scale dataset
+pipelines).
+
+``BUCKETS = 1_000_000`` gives ppm-resolution fractions. The default
+bucket expression is ``pmod(xxhash64(id, seed), BUCKETS)`` — Spark's
+64-bit xxhash, well mixed for any id type. ``bucket_expr`` can
+override it (the contract query uses a portable Knuth-style
+multiplicative mix both Spark and DuckDB evaluate exactly, so the
+whole operator is DuckDB-oracle-verified end to end).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 1_000_000
+
+
+def _bucket(id_col: str, seed: int, bucket_expr: Column | None) -> Column:
+    if bucket_expr is not None:
+        return bucket_expr
+    return F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(BUCKETS))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    seed: int = 42,
+    split_col: str = "split",
+    bucket_expr: Column | None = None,
+) -> DataFrame:
+    """Assign every row to exactly one named split (e.g. ``{"train":
+    0.9, "val": 0.05, "test": 0.05}``) by id-hash bucket: rows land in
+    ``[0, BUCKETS)`` and the cumulative weight thresholds carve it.
+    Complete and disjoint by construction (the last split takes the
+    remainder bucket range, so float rounding can never drop a row);
+    weights are normalized, so ``{"a": 9, "b": 1}`` works too. Adding
+    rows later never moves an existing row between splits (the
+    assignment depends only on the row's own id)."""
+    if not weights:
+        raise ValueError("hash_split: weights must name at least one split")
+    if any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
+        raise ValueError(f"hash_split: weights must be non-negative, sum > 0: {weights}")
+    total = float(sum(weights.values()))
+    names = list(weights)
+    b = _bucket(id_col, seed, bucket_expr)
+    expr = F.lit(names[-1])  # remainder range -> last split
+    cum = 0.0
+    conds = []
+    for name in names[:-1]:
+        cum += weights[name] / total
+        conds.append((name, int(round(cum * BUCKETS))))
+    for name, threshold in reversed(conds):
+        expr = F.when(b < threshold, F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
+def deterministic_sample(
+    df: DataFrame,
+    id_col: str,
+    fraction: float | dict,
+    strata_col: str | None = None,
+    seed: int = 42,
+    bucket_expr: Column | None = None,
+) -> DataFrame:
+    """Keep ~``fraction`` of rows by id-hash bucket — a deterministic
+    twin of ``df.sample`` / ``df.sampleBy`` whose kept-set is a pure
+    function of the row ids (repartition/resume/scale-out invariant,
+    and a row kept at fraction f stays kept at any fraction >= f, so
+    nested subsamples are supersets). With ``strata_col`` +
+    ``fraction`` as a dict, each stratum gets its own fraction
+    (missing strata default to 0.0 — explicitly opt strata in)."""
+    b = _bucket(id_col, seed, bucket_expr)
+    if strata_col is None:
+        if not isinstance(fraction, (int, float)):
+            raise ValueError("deterministic_sample: scalar fraction needs no strata_col")
+        return df.where(b < int(round(float(fraction) * BUCKETS)))
+    if not isinstance(fraction, dict):
+        raise ValueError("deterministic_sample: strata_col requires a fraction dict")
+    thresholds = [
+        (k, int(round(float(v) * BUCKETS))) for k, v in fraction.items()
+    ]
+    keep = reduce(
+        lambda acc, kv: F.when(F.col(strata_col) == kv[0], b < kv[1]).otherwise(acc),
+        thresholds,
+        F.lit(False),
+    )
+    return df.where(keep)

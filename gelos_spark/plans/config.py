@@ -340,6 +340,43 @@ def _op_simhash_pairs(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFr
     )
 
 
+@op("hash_split", required=("weights",), needs_input=True)
+def _op_hash_split(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
+    """Deterministic train/val/test assignment by id-hash bucket
+    (functions/sampling.hash_split): stable across runs, partitionings
+    and cluster sizes — resume-safe, unlike RNG randomSplit."""
+    from gelos_spark.functions import sampling
+
+    return sampling.hash_split(
+        conf["__input__"],
+        id_col=conf.get("id_col", "doc_id"),
+        weights={str(k): float(v) for k, v in dict(conf["weights"]).items()},
+        seed=int(conf.get("seed", 42)),
+        split_col=conf.get("split_col", "split"),
+    )
+
+
+@op("hash_sample", required=("fraction",), needs_input=True)
+def _op_hash_sample(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
+    """Deterministic (optionally stratified) subsample by id-hash
+    bucket — the resume-safe twin of sample/sampleBy; nested fractions
+    are supersets."""
+    from gelos_spark.functions import sampling
+
+    frac = conf["fraction"]
+    if isinstance(frac, dict):
+        frac = {str(k): float(v) for k, v in frac.items()}
+    else:
+        frac = float(frac)
+    return sampling.deterministic_sample(
+        conf["__input__"],
+        id_col=conf.get("id_col", "doc_id"),
+        fraction=frac,
+        strata_col=conf.get("strata_col"),
+        seed=int(conf.get("seed", 42)),
+    )
+
+
 @op("connected_components", needs_input=True)
 def _op_connected_components(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
     """A pairs stage -> (id, component): transitive duplicate

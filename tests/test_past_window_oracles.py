@@ -36,6 +36,7 @@ PAST_WINDOW_ORACLE_QUERIES = [
     "location_encode",
     "array_repeat_concat",
     "near_dup_components",
+    "hash_split_assign",
 ]
 
 
