@@ -1566,6 +1566,46 @@ def _hash_split_assign(spark, sf_dir):
 
 
 @_q(
+    "snapshot_pruned_scan",
+    # snapshot-layer scan planning (tables/snapshot.py, r6): commit
+    # orders clustered by a Knuth-mix cell key (cluster_by =
+    # range-partition + sort, so each data file covers a tight cell
+    # range), then read through the manifest's per-file [min,max]
+    # stats with a cell-range predicate — only overlapping files are
+    # opened (Iceberg planFiles semantics). The oracle scans the raw
+    # table with the same WHERE: pruning must be invisible in the
+    # result. File-skip effectiveness itself is pinned by
+    # tests/test_tables.py::test_pruned_read_is_exact_and_skips_files.
+    # Past-window (slots full), verified by check_oracle +
+    # test_past_window_oracles.
+    "SELECT o_orderstatus, COUNT(*) AS n_orders, "
+    "CAST(SUM(o_orderkey) AS BIGINT) AS sum_key FROM orders "
+    "WHERE (o_orderkey * 2654435761) % 1000000 BETWEEN 200000 AND 700000 "
+    "GROUP BY o_orderstatus ORDER BY o_orderstatus",
+)
+def _snapshot_pruned_scan(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from gelos_spark.tables.snapshot import SnapshotTable
+
+    (orders,) = _tables(spark, sf_dir, "orders")
+    root = f"{tempfile.gettempdir()}/gelos_pruned_q"
+    shutil.rmtree(root, ignore_errors=True)
+    t = SnapshotTable(root)
+    cells = orders.withColumn(
+        "cell", F.pmod(F.col("o_orderkey") * F.lit(2654435761), F.lit(1_000_000))
+    )
+    t.overwrite(cells, cluster_by=["cell"], num_files=8)
+    out = t.read(spark, where={"cell": (200_000, 700_000)})
+    return (
+        out.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"), F.sum("o_orderkey").alias("sum_key"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@_q(
     "location_encode",
     # G2's second encoder (lat first half, lon second — reference
     # models/prithvi_eo_v2.py:203-229), same dim-8 omega layout as

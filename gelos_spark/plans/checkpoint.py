@@ -98,8 +98,13 @@ class Pipeline:
         name: str,
         fn: Callable[[SparkSession], DataFrame],
         rows_in: int = -1,
+        cluster_by: list[str] | None = None,
+        num_files: int | None = None,
     ) -> DataFrame:
-        """Run (or resume-skip) one stage; returns its committed output."""
+        """Run (or resume-skip) one stage; returns its committed
+        output. ``cluster_by`` commits the stage table range-sorted on
+        the given keys so manifest min/max stats prune later range
+        scans (tables/snapshot.py)."""
         tbl = self.table(name)
         if name in self.log.done_stages(self.run_id):
             self.skipped.append(name)
@@ -107,7 +112,9 @@ class Pipeline:
 
         t0 = time.time()
         df = fn(self.spark)
-        tbl.overwrite_partition(df, partition=name)  # idempotent commit
+        tbl.overwrite_partition(  # idempotent commit
+            df, partition=name, cluster_by=cluster_by, num_files=num_files
+        )
         wall_ms = int((time.time() - t0) * 1000)
 
         now = time.time()

@@ -682,7 +682,30 @@ def build_pipeline(
                 _args["__input__"] = pipe.output(_inp)
             return _op(sp, pipe, _args)
 
-        pipe.stage(st["name"], fn)
+        pipe.stage(
+            st["name"],
+            fn,
+            cluster_by=st.get("cluster_by"),
+            num_files=st.get("num_files"),
+        )
+
+    # Iceberg-style table maintenance, declared once per pipeline:
+    #   maintenance:
+    #     compact_target_bytes: 134217728   # bin-pack files below this
+    #     expire_keep_last: 2               # per stage table; drops
+    #                                       # time-travel past the last 2
+    # Runs after the stage DAG (and again on resume — both actions are
+    # idempotent no-ops once applied).
+    maint = conf.get("maintenance") or {}
+    if maint:
+        target = maint.get("compact_target_bytes")
+        keep = maint.get("expire_keep_last")
+        for st in conf["stages"]:
+            tbl = pipe.table(st["name"])
+            if target:
+                tbl.compact(spark, target_file_bytes=int(target))
+            if keep:
+                tbl.expire_snapshots(keep_last=int(keep))
     return pipe
 
 

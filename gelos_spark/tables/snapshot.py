@@ -17,19 +17,40 @@ Iceberg semantics the north rule actually uses, from scratch:
   - **time travel**: every snapshot's manifest is retained;
     ``read_at(snapshot_id)`` reads any historical snapshot (the
     resume path reads lineage "as of" the last good snapshot).
+  - **scan planning from manifest column stats** (Iceberg's
+    lower_bounds/upper_bounds): every commit records per-file min/max
+    for primitive columns straight from the parquet footers (no data
+    read); ``read(where={col: (lo, hi)})`` plans the file list from
+    the manifest alone and opens only overlapping files. Pruning is a
+    pure optimization — the residual predicate is always re-applied
+    as a Spark filter, so results are byte-identical with or without
+    stats. At 10^12-image scale this is THE scan primitive: a
+    cell-range query touches the few data files whose Morton range
+    overlaps, not the table.
+  - **clustered writes** (Z-order-style layout): ``cluster_by=`` on
+    any write range-partitions + sorts rows by the given keys
+    (Morton ``cell_id`` makes one int key already interleave
+    lon/lat bits), so each data file covers a tight, near-disjoint
+    key range and min/max pruning actually bites.
+  - **maintenance**: ``compact()`` bin-packs small data files into
+    fewer large ones as a normal atomic commit (readers of older
+    snapshots unaffected); ``expire_snapshots(keep_last=N)`` drops
+    old manifests and deletes data files no retained snapshot
+    references (including orphans from crashed commits).
 
 Layout under ``root``:
   data/<commit-uuid>/*.parquet      immutable data files
   manifests/<snapshot_id>.json      {"snapshot_id", "parent", "ts",
                                      "files": [{"path", "rows",
-                                     "bytes", "partition"}]}
+                                     "bytes", "partition",
+                                     "stats": {col: [min, max]}}]}
   _current                          text file: latest snapshot_id
                                     (committed via atomic rename)
 
 At cluster scale the same protocol works on any store with atomic
 rename (HDFS) or conditional put (S3); data-file writes are fully
-distributed (df.write.parquet) — only the tiny manifest commit is
-driver-side, exactly like Iceberg's.
+distributed (df.write.parquet) — only the tiny manifest commit and
+the footer-stat harvest are driver-side, exactly like Iceberg's.
 """
 
 from __future__ import annotations
@@ -42,11 +63,68 @@ from typing import Any
 
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: JSON-safe primitive python types a manifest stat may hold.
+_STAT_TYPES = (bool, int, float, str)
+
+
+def _file_column_stats(meta: "pq.FileMetaData") -> dict[str, list]:
+    """Per-file [min, max] for every top-level primitive column,
+    folded across row groups from the parquet FOOTER only (no data
+    pages read — same cost profile as Iceberg's manifest stats).
+
+    Conservative by construction: a column is omitted (→ never pruned
+    on) unless EVERY row group has usable min/max of a JSON-safe
+    primitive type. Nested paths (``a.list.element``), raw binary,
+    and NaN floats are all skipped."""
+    if meta.num_row_groups == 0:
+        return {}
+    stats: dict[str, list] = {}
+    for ci in range(meta.num_columns):
+        name = meta.row_group(0).column(ci).path_in_schema
+        if "." in name:  # nested leaf (array/struct/map) — not prunable
+            continue
+        mins: list = []
+        maxs: list = []
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                mins = []
+                break
+            mins.append(st.min)
+            maxs.append(st.max)
+        if not mins:
+            continue
+        mn, mx = min(mins), max(maxs)
+        if not (isinstance(mn, _STAT_TYPES) and isinstance(mx, _STAT_TYPES)):
+            continue  # bytes (true binary) or other non-JSON scalar
+        if isinstance(mn, float) and (mn != mn or mx != mx):
+            continue  # NaN bounds can't order — skip, stay conservative
+        stats[name] = [mn, mx]
+    return stats
+
+
+def _overlaps(file_entry: dict, where: dict[str, tuple]) -> bool:
+    """True iff the file MAY contain rows matching every range
+    predicate. Missing stats for a column ⇒ keep the file."""
+    stats = file_entry.get("stats") or {}
+    for col, (lo, hi) in where.items():
+        if col not in stats:
+            continue
+        smin, smax = stats[col]
+        if hi is not None and smin > hi:
+            return False
+        if lo is not None and smax < lo:
+            return False
+    return True
 
 
 class SnapshotTable:
     def __init__(self, root: str):
         self.root = root
+        #: planned-vs-total file counts of the most recent read()
+        self.last_scan: dict[str, int] | None = None
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
 
@@ -73,11 +151,46 @@ class SnapshotTable:
     def files(self, snapshot_id: int | None = None) -> list[dict[str, Any]]:
         return self.manifest(snapshot_id)["files"]
 
-    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
-        paths = [f["path"] for f in self.files(snapshot_id)]
-        if not paths:
+    def plan_files(
+        self, where: dict[str, tuple] | None = None, snapshot_id: int | None = None
+    ) -> list[dict[str, Any]]:
+        """Manifest-only scan planning (Iceberg's planFiles): return
+        the file entries whose [min, max] stats overlap every range in
+        ``where`` ({col: (lo, hi)}, None = unbounded on that side;
+        equality = (v, v)). Files without stats for a column are kept
+        — pruning is never allowed to change results."""
+        files = self.files(snapshot_id)
+        if not where:
+            return files
+        return [f for f in files if _overlaps(f, where)]
+
+    def read(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        where: dict[str, tuple] | None = None,
+    ) -> DataFrame:
+        """Read a snapshot; with ``where``, plan the file list from
+        manifest stats and open only overlapping files, then re-apply
+        the same ranges as a Spark filter (exactness does not depend
+        on pruning). ``last_scan`` records planned-vs-total file
+        counts for plan audits."""
+        all_files = self.files(snapshot_id)
+        if not all_files:
             raise ValueError(f"table {self.root} is empty (no committed snapshot)")
-        return spark.read.parquet(*paths)
+        picked = self.plan_files(where, snapshot_id)
+        self.last_scan = {"files_total": len(all_files), "files_read": len(picked)}
+        if not picked:
+            # no file can match: empty frame with the table's schema
+            df = spark.read.parquet(all_files[0]["path"]).limit(0)
+        else:
+            df = spark.read.parquet(*[f["path"] for f in picked])
+        for col, (lo, hi) in (where or {}).items():
+            if lo is not None:
+                df = df.filter(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(col) <= F.lit(hi))
+        return df
 
     read_at = read  # alias: time-travel read
 
@@ -86,7 +199,29 @@ class SnapshotTable:
 
     # ------------------------------------------------------- writing
 
-    def _write_data_files(self, df: DataFrame, partition: str | None) -> list[dict]:
+    def _write_data_files(
+        self,
+        df: DataFrame,
+        partition: str | None,
+        cluster_by: list[str] | None = None,
+        num_files: int | None = None,
+    ) -> list[dict]:
+        if cluster_by:
+            # Z-order-style layout: range-partition + sort on the
+            # cluster keys so each file covers a tight key range and
+            # manifest min/max pruning is effective. (Morton cell_id
+            # is already a bit-interleaved 2-D key, so one int column
+            # gives spatial locality.) repartitionByRange samples to
+            # pick bounds — file BOUNDARIES may vary run-to-run, but
+            # content and every pruned read stay exact.
+            cols = [F.col(c) for c in cluster_by]
+            df = (
+                df.repartitionByRange(num_files, *cols)
+                if num_files
+                else df.repartitionByRange(*cols)
+            ).sortWithinPartitions(*cols)
+        elif num_files:
+            df = df.repartition(num_files)
         commit_dir = os.path.join(self.root, "data", uuid.uuid4().hex)
         df.write.mode("overwrite").parquet(commit_dir)
         out = []
@@ -95,12 +230,16 @@ class SnapshotTable:
                 continue
             path = os.path.join(commit_dir, name)
             meta = pq.ParquetFile(path).metadata
+            if meta.num_rows == 0:
+                os.remove(path)  # range partitions can be empty
+                continue
             out.append(
                 {
                     "path": path,
                     "rows": meta.num_rows,
                     "bytes": os.path.getsize(path),
                     "partition": partition,
+                    "stats": _file_column_stats(meta),
                 }
             )
         return out
@@ -125,21 +264,117 @@ class SnapshotTable:
         os.rename(tmp, os.path.join(self.root, "_current"))  # atomic commit point
         return sid
 
-    def append(self, df: DataFrame, partition: str | None = None) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        partition: str | None = None,
+        cluster_by: list[str] | None = None,
+        num_files: int | None = None,
+    ) -> int:
         """Atomic append: new snapshot = old files + newly written files."""
-        new_files = self._write_data_files(df, partition)
+        new_files = self._write_data_files(df, partition, cluster_by, num_files)
         return self._commit(self.files() + new_files)
 
-    def overwrite_partition(self, df: DataFrame, partition: str) -> int:
+    def overwrite_partition(
+        self,
+        df: DataFrame,
+        partition: str,
+        cluster_by: list[str] | None = None,
+        num_files: int | None = None,
+    ) -> int:
         """Idempotent replace of every file tagged with ``partition``
         (the resume path re-runs a stage safely)."""
-        new_files = self._write_data_files(df, partition)
+        new_files = self._write_data_files(df, partition, cluster_by, num_files)
         kept = [f for f in self.files() if f["partition"] != partition]
         return self._commit(kept + new_files)
 
-    def overwrite(self, df: DataFrame, partition: str | None = None) -> int:
+    def overwrite(
+        self,
+        df: DataFrame,
+        partition: str | None = None,
+        cluster_by: list[str] | None = None,
+        num_files: int | None = None,
+    ) -> int:
         """Replace the whole table in one atomic snapshot."""
-        return self._commit(self._write_data_files(df, partition))
+        return self._commit(self._write_data_files(df, partition, cluster_by, num_files))
+
+    # -------------------------------------------------- maintenance
+
+    def compact(
+        self,
+        spark: SparkSession,
+        target_file_bytes: int = 128 << 20,
+        cluster_by: list[str] | None = None,
+    ) -> int | None:
+        """Bin-pack small data files (< ``target_file_bytes``) into
+        fewer large ones, per partition tag, committed as ONE normal
+        atomic snapshot — time travel to pre-compaction snapshots
+        still reads the original files (expire_snapshots reclaims
+        them later). Row content is untouched; only layout changes.
+        Returns the new snapshot id, or None if nothing to compact.
+
+        At 10^12-image scale streaming/micro-batch appends accumulate
+        small files and manifest entries; compaction bounds both
+        (Iceberg's rewrite_data_files). The rewrite itself is a
+        distributed read→write; only manifest surgery is driver-side.
+        """
+        files = self.files()
+        by_part: dict[str | None, list[dict]] = {}
+        for f in files:
+            if f["bytes"] < target_file_bytes:
+                by_part.setdefault(f["partition"], []).append(f)
+        groups = {p: fs for p, fs in by_part.items() if len(fs) >= 2}
+        if not groups:
+            return None
+        rewritten: set[str] = set()
+        new_files: list[dict] = []
+        for part, fs in groups.items():
+            total = sum(f["bytes"] for f in fs)
+            n_out = max(1, -(-total // target_file_bytes))  # ceil
+            src = spark.read.parquet(*[f["path"] for f in fs])
+            new_files.extend(
+                self._write_data_files(src, part, cluster_by, num_files=int(n_out))
+            )
+            rewritten.update(f["path"] for f in fs)
+        kept = [f for f in files if f["path"] not in rewritten]
+        return self._commit(kept + new_files)
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict[str, int]:
+        """Retain the newest ``keep_last`` snapshots; delete older
+        manifests and every data file under ``root`` no retained
+        manifest references — including orphans from crashed commits
+        (files written but never committed). Mirrors Iceberg's
+        expire_snapshots + remove_orphan_files. Caveat (same as
+        Iceberg's): don't run concurrently with an in-flight write,
+        whose not-yet-committed files look like orphans."""
+        if keep_last < 1:
+            raise ValueError("expire_snapshots: keep_last must be >= 1")
+        sids = self.snapshots()
+        retained = sids[-keep_last:]
+        referenced = {
+            f["path"] for sid in retained for f in self.files(sid)
+        }
+        dropped_manifests = 0
+        for sid in sids:
+            if sid not in retained:
+                os.remove(os.path.join(self.root, "manifests", f"{sid}.json"))
+                dropped_manifests += 1
+        deleted_files = 0
+        data_root = os.path.join(self.root, "data")
+        for commit_dir in list(os.listdir(data_root)):
+            cdir = os.path.join(data_root, commit_dir)
+            for name in list(os.listdir(cdir)):
+                p = os.path.join(cdir, name)
+                if p not in referenced:
+                    os.remove(p)
+                    deleted_files += name.endswith(".parquet")
+            if not os.listdir(cdir):
+                os.rmdir(cdir)
+        return {
+            "retained_snapshots": len(retained),
+            "expired_manifests": dropped_manifests,
+            "deleted_data_files": deleted_files,
+        }
 
     # ------------------------------------------------------- stats
 

@@ -487,3 +487,58 @@ stages:
     # one survivor per component, never more rows than docs
     assert got.select("component").distinct().count() == got.count()
     assert got.count() <= docs.count()
+
+
+def test_clustered_stage_and_maintenance(spark, tmp_path):
+    """Stage-level ``cluster_by``/``num_files`` commit the stage table
+    range-sorted so manifest stats prune later scans; the pipeline
+    ``maintenance`` block compacts small files and expires old
+    snapshots — both idempotent across a resume."""
+    import yaml as _yaml
+
+    from pyspark.sql import functions as F
+
+    conf = _yaml.safe_load(
+        """
+run_id: t1
+maintenance: {compact_target_bytes: 4096, expire_keep_last: 1}
+stages:
+  - name: tiles
+    op: synth_tracker
+    args: {n: 4000, seed: 42}
+  - name: cells
+    op: cell_encode
+    input: tiles
+    args: {res: 16}
+    cluster_by: [cell]
+    num_files: 6
+"""
+    )
+    root = str(tmp_path / "run")
+    pipe = cfg.build_pipeline(spark, conf, root=root)
+    tbl = pipe.table("cells")
+
+    # clustered commit: several files, each with tight cell stats;
+    # (4096-byte compaction target leaves these multi-KB files alone)
+    entries = [f for f in tbl.files() if f["partition"] == "cells"]
+    assert len(entries) > 1
+    assert all("cell" in f["stats"] for f in entries)
+
+    # manifest pruning: a range scan opens a strict subset AND matches
+    # the full-scan filter exactly
+    cells = pipe.output("cells")
+    lo, hi = cells.agg(F.min("cell"), F.expr("percentile(cell, 0.2)")).collect()[0]
+    pruned = tbl.read(spark, where={"cell": (int(lo), int(hi))})
+    n = pruned.count()
+    assert 0 < tbl.last_scan["files_read"] < tbl.last_scan["files_total"]
+    assert n == cells.filter(F.col("cell").between(int(lo), int(hi))).count() > 0
+
+    # maintenance ran: history expired to the last snapshot only
+    assert len(tbl.snapshots()) == 1
+
+    # resume: stages skip, maintenance no-ops, content identical
+    h = pipe.output("cells").agg(F.bit_xor(F.xxhash64("image_id", "cell"))).collect()
+    p2 = cfg.build_pipeline(spark, conf, root=root)
+    assert p2.skipped == ["tiles", "cells"]
+    h2 = p2.output("cells").agg(F.bit_xor(F.xxhash64("image_id", "cell"))).collect()
+    assert h == h2

@@ -37,6 +37,7 @@ PAST_WINDOW_ORACLE_QUERIES = [
     "array_repeat_concat",
     "near_dup_components",
     "hash_split_assign",
+    "snapshot_pruned_scan",
 ]
 
 

@@ -123,6 +123,135 @@ def test_empty_table_raises(spark, tmp_path):
         t.read(spark)
 
 
+# ---------------- manifest stats / pruned scan / maintenance (r6) ----
+
+
+def _cells_df(spark, n=20000):
+    return (
+        spark.range(0, n)
+        .withColumn("cell", (F.col("id") * F.lit(2654435761)) % F.lit(1_000_000))
+        .withColumn("name", F.concat(F.lit("img_"), F.col("id").cast("string")))
+        .withColumn("blob", F.col("id").cast("string").cast("binary"))
+    )
+
+
+def _xor(df, *cols):
+    return df.agg(F.bit_xor(F.xxhash64(*cols)).alias("h")).collect()[0]["h"]
+
+
+def test_manifest_records_primitive_column_stats(spark, tmp_path):
+    """Every commit harvests per-file [min, max] for primitive columns
+    from the parquet footers (Iceberg's lower/upper_bounds); binary
+    columns are skipped (not prunable, not JSON-safe)."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.append(_cells_df(spark, 1000).coalesce(1))
+    (entry,) = t.files()
+    stats = entry["stats"]
+    assert stats["id"] == [0, 999]
+    assert stats["cell"][0] >= 0 and stats["cell"][1] < 1_000_000
+    assert stats["name"][0].startswith("img_")
+    assert "blob" not in stats
+
+
+def test_pruned_read_is_exact_and_skips_files(spark, tmp_path):
+    """cluster_by gives each data file a tight cell range, so a
+    manifest-planned range scan opens a strict subset of files and
+    still returns exactly the rows a full-scan filter returns."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.append(_cells_df(spark), cluster_by=["cell"], num_files=8)
+    lo, hi = 100_000, 220_000
+    pruned = t.read(spark, where={"cell": (lo, hi)})
+    h_pruned, n_pruned = _xor(pruned, "id", "cell", "name"), pruned.count()
+    assert t.last_scan["files_total"] == 8
+    assert 0 < t.last_scan["files_read"] < 8
+    full = t.read(spark).filter((F.col("cell") >= lo) & (F.col("cell") <= hi))
+    assert n_pruned == full.count() > 0
+    assert h_pruned == _xor(full, "id", "cell", "name")
+
+
+def test_pruned_read_empty_range_keeps_schema(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.append(_cells_df(spark, 500), cluster_by=["cell"], num_files=4)
+    out = t.read(spark, where={"cell": (-100, -1)})
+    assert t.last_scan["files_read"] == 0
+    assert out.count() == 0
+    assert set(out.columns) == {"id", "cell", "name", "blob"}
+
+
+def test_pruning_conservative_without_stats(spark, tmp_path):
+    """Pre-stats manifests (or columns with no usable bounds) must
+    never be pruned on — strip the stats key to simulate an old
+    manifest and assert the scan degrades to read-everything while
+    staying exact."""
+    import json as _json
+    import os as _os
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.append(_cells_df(spark, 2000), cluster_by=["cell"], num_files=4)
+    sid = t.current_snapshot_id()
+    mpath = _os.path.join(t.root, "manifests", f"{sid}.json")
+    man = _json.load(open(mpath))
+    for f in man["files"]:
+        f.pop("stats", None)
+    _json.dump(man, open(mpath, "w"))
+    out = t.read(spark, where={"cell": (0, 50_000)})
+    assert t.last_scan["files_read"] == t.last_scan["files_total"] == 4
+    full = t.read(spark).filter(F.col("cell").between(0, 50_000))
+    assert out.count() == full.count()
+
+
+def test_compact_preserves_content_and_history(spark, tmp_path):
+    """Bin-packing small files is a normal atomic commit: same rows,
+    same content hash, fewer files; the pre-compaction snapshot still
+    reads the original layout (until expired)."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    for i in range(6):
+        t.append(spark.range(i * 100, (i + 1) * 100).coalesce(1))
+    pre_sid, pre_files = t.current_snapshot_id(), len(t.files())
+    pre_hash = _xor(t.read(spark), "id")
+    sid = t.compact(spark, target_file_bytes=1 << 20)
+    assert sid == pre_sid + 1 and t.manifest()["parent"] == pre_sid
+    assert len(t.files()) < pre_files
+    assert t.total_rows() == 600
+    assert _xor(t.read(spark), "id") == pre_hash
+    assert t.read(spark, snapshot_id=pre_sid).count() == 600  # time travel
+
+
+def test_compact_noop_when_nothing_small(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.append(spark.range(0, 100).coalesce(1))
+    sid = t.current_snapshot_id()
+    assert t.compact(spark, target_file_bytes=1) is None
+    assert t.current_snapshot_id() == sid
+
+
+def test_expire_snapshots_reclaims_unreferenced_and_orphans(spark, tmp_path):
+    """Expiry drops old manifests and deletes data files no retained
+    snapshot references — including orphans from a crashed commit
+    (files written, _current never renamed)."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.overwrite(spark.range(0, 50).coalesce(1))
+    t.overwrite(spark.range(50, 120).coalesce(1))  # first files now dead
+    t._write_data_files(spark.range(0, 9).coalesce(1), None)  # crashed commit
+    res = t.expire_snapshots(keep_last=1)
+    assert res["expired_manifests"] == 1
+    assert res["deleted_data_files"] >= 2  # dead snapshot-1 file + orphan
+    assert t.snapshots() == [t.current_snapshot_id()]
+    assert t.read(spark).count() == 70  # current snapshot intact
+    live = {f["path"] for f in t.files()}
+    import os as _os
+
+    on_disk = {
+        _os.path.join(d, n)
+        for d, _, names in _os.walk(_os.path.join(t.root, "data"))
+        for n in names
+        if n.endswith(".parquet")
+    }
+    assert on_disk == live
+    with pytest.raises(ValueError):
+        t.expire_snapshots(keep_last=0)
+
+
 def test_pipeline_resume_skips_and_is_identical(spark, tmp_path):
     root = str(tmp_path / "run")
 
