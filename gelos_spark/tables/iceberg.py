@@ -125,6 +125,54 @@ class IcebergTable:
     def _exists(self) -> bool:
         return self.spark.catalog.tableExists(self.ident)
 
+    # -------------------------------------------------- maintenance
+    # SnapshotTable-protocol maintenance mapped 1:1 onto Iceberg's
+    # documented Spark procedures (no logic of our own, like the rest
+    # of this facade).
+
+    def compact(
+        self,
+        spark: SparkSession | None = None,
+        target_file_bytes: int = 128 << 20,
+        cluster_by: list[str] | None = None,
+    ) -> int | None:
+        """Bin-pack small data files: Iceberg's ``rewrite_data_files``
+        procedure (binpack strategy; ``cluster_by`` selects the sort
+        strategy with the given ascending sort order — the real-table
+        analog of SnapshotTable's range-sorted rewrite)."""
+        name = self.ident.split(".", 1)[1]
+        args = [
+            f"table => '{name}'",
+            "options => map('target-file-size-bytes', "
+            f"'{int(target_file_bytes)}')",
+        ]
+        if cluster_by:
+            for c in cluster_by:
+                _ident(c)  # same identifier hygiene as table names
+            order = ", ".join(f"{c} ASC" for c in cluster_by)
+            args.insert(1, f"strategy => 'sort', sort_order => '{order}'")
+        self.spark.sql(
+            f"CALL {ICEBERG_CATALOG}.system.rewrite_data_files({', '.join(args)})"
+        )
+        return self.current_snapshot_id()
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict[str, int]:
+        """Iceberg's ``expire_snapshots`` procedure (retain_last =
+        keep_last); orphan cleanup is a separate procedure upstream,
+        issued here too so the facade matches SnapshotTable's
+        expire-including-orphans contract."""
+        if keep_last < 1:
+            raise ValueError("expire_snapshots: keep_last must be >= 1")
+        name = self.ident.split(".", 1)[1]
+        self.spark.sql(
+            f"CALL {ICEBERG_CATALOG}.system.expire_snapshots("
+            f"table => '{name}', retain_last => {int(keep_last)})"
+        )
+        self.spark.sql(
+            f"CALL {ICEBERG_CATALOG}.system.remove_orphan_files(table => '{name}')"
+        )
+        return {"retained_snapshots": keep_last}
+
 
 def open_table(spark: SparkSession, root: str, name: str | None = None):
     """Route to real Iceberg when the session carries the catalog,

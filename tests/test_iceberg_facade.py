@@ -118,3 +118,34 @@ def test_read_drops_partition_col(spark, monkeypatch):
     out = t.read()
     assert ice.PARTITION_COL not in out.columns
     assert out.columns == ["id", "v"]
+
+
+def test_maintenance_issues_iceberg_procedures(spark, monkeypatch):
+    """compact/expire_snapshots map onto the documented Iceberg Spark
+    procedures (rewrite_data_files with binpack-or-sort strategy,
+    expire_snapshots + remove_orphan_files) — recorded, since no
+    runtime jar resolves offline."""
+    calls: list[str] = []
+    t = ice.IcebergTable(spark, "unit_test_tbl")
+    monkeypatch.setattr(t, "current_snapshot_id", lambda: 7)
+    monkeypatch.setattr(
+        type(spark), "sql", lambda self, q, *a, **k: calls.append(q)
+    )
+
+    assert t.compact(target_file_bytes=1 << 26) == 7
+    assert "rewrite_data_files" in calls[0]
+    assert "'67108864'" in calls[0] and "strategy" not in calls[0]
+
+    t.compact(cluster_by=["cell", "ts"])
+    assert "strategy => 'sort'" in calls[1]
+    assert "sort_order => 'cell ASC, ts ASC'" in calls[1]
+
+    t.expire_snapshots(keep_last=2)
+    assert "expire_snapshots" in calls[2] and "retain_last => 2" in calls[2]
+    assert "remove_orphan_files" in calls[3]
+
+    with pytest.raises(ValueError):
+        t.expire_snapshots(keep_last=0)
+    # identifier hygiene extends to sort columns
+    with pytest.raises(ValueError):
+        t.compact(cluster_by=["cell; DROP TABLE x"])
