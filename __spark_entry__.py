@@ -1709,24 +1709,50 @@ def _perturb(spark, sf_dir):
     return out.select("image_id", "w", "h", "fmt", "phash")
 
 
-@_q("knn_distributed")
+_KNN_DIST_POINTS = [(i, -55.0 + i * 1.7, -45.0 + i * 1.4) for i in range(32)]
+
+
+@_q(
+    "knn_distributed",
+    # J5's corpus-scale twin now carries the same brute-force DuckDB
+    # oracle shape as knn_join (upgraded from rows-only, r6): the
+    # distributed ring-expansion path must equal an exact cross-join
+    # top-k with the (dist, image_id) tie-break. Past-window (slots
+    # full) — verified by check_oracle + test_past_window_oracles;
+    # bit-equality with the driver-resident path additionally pinned
+    # in tests/test_knn_join.py.
+    "WITH q(query_id, qlon, qlat) AS (VALUES "
+    + ", ".join(
+        f"(CAST({i} AS BIGINT), {lon!r}, {lat!r})" for i, lon, lat in _KNN_DIST_POINTS
+    )
+    + "), d AS (SELECT q.query_id, p.image_id, "
+    + haversine_sql("q.qlon", "q.qlat", "p.lon", "p.lat")
+    + f" AS dist FROM ({_points_sql('customer', 'c_custkey')}) p CROSS JOIN q), "
+    "r AS (SELECT query_id, image_id, dist, CAST(row_number() OVER ("
+    "PARTITION BY query_id ORDER BY dist, image_id) AS BIGINT) AS rank FROM d) "
+    "SELECT query_id, rank, image_id, round(dist, 6) AS dist_km FROM r WHERE rank <= 10",
+)
 def _knn_distributed(spark, sf_dir):
     # J5 at corpus query scale: the fully-distributed ring-expansion
     # path (query side never collected; shells from the same
     # cell_shell_batch kernel as a vectorized pandas UDF; tiles
-    # shuffled once into a cell-partitioned layout). Rows-only here;
-    # bit-equality with the driver-resident path (itself brute-force
-    # oracled) is pytest's job (tests/test_knn_join.py).
+    # shuffled once into a cell-partitioned layout).
     from gelos_spark.operators.knn_join import knn_join_distributed
 
     (customer,) = _tables(spark, sf_dir, "customer")
     pts = _points_df(customer, "c_custkey")
     qdf = spark.createDataFrame(
-        [(i, -55.0 + i * 1.7, -45.0 + i * 1.4, 10) for i in range(32)],
+        [(i, lon, lat, 10) for i, lon, lat in _KNN_DIST_POINTS],
         "query_id long, lon double, lat double, k int",
     )
     n = customer.count()
-    return knn_join_distributed(spark, pts, qdf, n_tiles_hint=n)
+    out = knn_join_distributed(spark, pts, qdf, n_tiles_hint=n)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "image_id",
+        F.round("dist_km", 6).alias("dist_km"),
+    )
 
 
 @_q("minhash_lsh_pairs")

@@ -1,10 +1,12 @@
 """The driver's correctness gate records only the first 50 registered
-queries; four oracle-backed queries live past that window
-(fmt_latlon, location_encode, array_repeat_concat,
-near_dup_components — see __spark_entry__.py's rows-only section;
-round 6 rotated hamming_pairs INTO the window, array_repeat_concat
-out, and added near_dup_components with a recursive-CTE DuckDB
-oracle). Their DuckDB-exactness
+queries; the PAST_WINDOW_ORACLE_QUERIES below are oracle-backed
+queries living past that window (see __spark_entry__.py's past-window
+section; round 6 rotated hamming_pairs INTO the window and
+array_repeat_concat out, added near_dup_components with a
+recursive-CTE DuckDB oracle, hash_split_assign and
+snapshot_pruned_scan with portable-arithmetic oracles, and upgraded
+knn_distributed from rows-only to the same brute-force cross-join
+oracle shape as knn_join). Their DuckDB-exactness
 was previously checked only when scripts/check_oracle.py was run by
 hand; this test runs the same compare (same canon, same oracle SQL) at
 sf0.001 inside the suite so the evidence regenerates every round.
@@ -38,6 +40,7 @@ PAST_WINDOW_ORACLE_QUERIES = [
     "near_dup_components",
     "hash_split_assign",
     "snapshot_pruned_scan",
+    "knn_distributed",
 ]
 
 
