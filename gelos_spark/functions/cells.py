@@ -100,6 +100,33 @@ def cell_child_pos(cell: np.ndarray) -> np.ndarray:
     return (np.asarray(cell) & np.int64(3)).astype(np.int64)
 
 
+def cell_ranges(cells: np.ndarray, res: int, tile_res: int) -> np.ndarray:
+    """Merged [lo, hi] inclusive tile-cell id ranges covered by coarse
+    cells (G4 grid arithmetic; the table-layer pushdown shape).
+
+    A res-``res`` cell ``c`` owns the CONTIGUOUS Morton block
+    ``[c << 2Δ, ((c+1) << 2Δ) - 1]`` at res ``tile_res`` (Δ = tile_res
+    - res) — the quadtree prefix property. Sorting the cover and
+    merging adjacent/overlapping blocks turns any polygon cover into a
+    handful of ranges a manifest scan (tables/snapshot.py
+    ``plan_files``) or any range-pruned index can consume directly.
+    Returns an (n, 2) int64 array."""
+    if tile_res < res:
+        raise ValueError("tile_res must be >= res")
+    cells = np.unique(np.asarray(cells, dtype=np.int64))
+    if cells.size == 0:
+        return np.empty((0, 2), dtype=np.int64)
+    shift = np.int64(2 * (tile_res - res))
+    lo = cells << shift
+    hi = ((cells + np.int64(1)) << shift) - np.int64(1)
+    # merge runs of consecutive coarse cells (sorted, so a run merges
+    # iff the next block starts right after the current one ends)
+    breaks = np.nonzero(lo[1:] > hi[:-1] + np.int64(1))[0]
+    starts = np.concatenate(([0], breaks + 1))
+    ends = np.concatenate((breaks, [cells.size - 1]))
+    return np.stack([lo[starts], hi[ends]], axis=1)
+
+
 def cell_to_lonlat(cell: np.ndarray, res: int) -> tuple[np.ndarray, np.ndarray]:
     """Cell center (lon, lat)."""
     n = 1 << res

@@ -105,6 +105,33 @@ def build_cover_df(spark: SparkSession, aois: list[dict], cover_res: int) -> Dat
     return spark.createDataFrame(pdf, schema="aoi_id long, cover_cell long, interior boolean")
 
 
+def aoi_cell_ranges(
+    aois: list[dict], cover_res: int | None = None, tile_res: int = TILE_RES
+) -> list[tuple[int, int]]:
+    """Merged tile-cell [lo, hi] ranges of the AOI set's union cover —
+    the spatial predicate a snapshot table consumes for manifest file
+    pruning (``SnapshotTable.read(where={"cell": ranges})``).
+
+    The cover is a superset of every contained tile by construction
+    (polygon_cover keeps any cell that may touch the polygon), so a
+    PIP join over the pruned read returns exactly the assignments of a
+    full-table scan — only the files whose Morton range can't hold an
+    AOI tile are never opened. At 10^12-tile scale this is the step
+    that turns a city-sized query against a planet-sized table into a
+    city-sized scan."""
+    cover_res = cover_res or pick_cover_res(aois)
+    covers = [
+        cells.polygon_cover(
+            np.asarray(p["ring"], dtype=np.float64), cover_res, holes=p.get("holes")
+        )
+        for p in aois
+    ]
+    if not covers:
+        return []
+    union = np.concatenate(covers)
+    return [tuple(map(int, r)) for r in cells.cell_ranges(union, cover_res, tile_res)]
+
+
 def build_edges_df(spark: SparkSession, aois: list[dict]) -> DataFrame:
     """Exploded polygon-edge table (aoi_id, x1, y1, x2, y2, wrapped)
     for the relational ray-cast. Horizontal edges are dropped — they

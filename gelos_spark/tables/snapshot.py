@@ -105,17 +105,34 @@ def _file_column_stats(meta: "pq.FileMetaData") -> dict[str, list]:
     return stats
 
 
-def _overlaps(file_entry: dict, where: dict[str, tuple]) -> bool:
-    """True iff the file MAY contain rows matching every range
-    predicate. Missing stats for a column ⇒ keep the file."""
+def _as_ranges(pred) -> list[tuple]:
+    """A predicate is one (lo, hi) tuple or a list of them (OR of
+    ranges — e.g. the Morton ranges of a polygon's cell cover)."""
+    if isinstance(pred, list):
+        if not pred:
+            raise ValueError("empty range list predicate (matches nothing?)")
+        return [tuple(r) for r in pred]
+    return [tuple(pred)]
+
+
+def _range_hits(smin, smax, lo, hi) -> bool:
+    if hi is not None and smin > hi:
+        return False
+    if lo is not None and smax < lo:
+        return False
+    return True
+
+
+def _overlaps(file_entry: dict, where: dict) -> bool:
+    """True iff the file MAY contain rows matching every predicate
+    (each an OR-of-ranges). Missing stats for a column ⇒ keep the
+    file."""
     stats = file_entry.get("stats") or {}
-    for col, (lo, hi) in where.items():
+    for col, pred in where.items():
         if col not in stats:
             continue
         smin, smax = stats[col]
-        if hi is not None and smin > hi:
-            return False
-        if lo is not None and smax < lo:
+        if not any(_range_hits(smin, smax, lo, hi) for lo, hi in _as_ranges(pred)):
             return False
     return True
 
@@ -152,13 +169,15 @@ class SnapshotTable:
         return self.manifest(snapshot_id)["files"]
 
     def plan_files(
-        self, where: dict[str, tuple] | None = None, snapshot_id: int | None = None
+        self, where: dict | None = None, snapshot_id: int | None = None
     ) -> list[dict[str, Any]]:
         """Manifest-only scan planning (Iceberg's planFiles): return
-        the file entries whose [min, max] stats overlap every range in
-        ``where`` ({col: (lo, hi)}, None = unbounded on that side;
-        equality = (v, v)). Files without stats for a column are kept
-        — pruning is never allowed to change results."""
+        the file entries whose [min, max] stats overlap every
+        predicate in ``where`` ({col: (lo, hi)} — None = unbounded on
+        that side, equality = (v, v) — or {col: [(lo, hi), ...]}, an
+        OR of ranges, e.g. a polygon cover's Morton cell ranges).
+        Files without stats for a column are kept — pruning is never
+        allowed to change results."""
         files = self.files(snapshot_id)
         if not where:
             return files
@@ -168,13 +187,22 @@ class SnapshotTable:
         self,
         spark: SparkSession,
         snapshot_id: int | None = None,
-        where: dict[str, tuple] | None = None,
+        where: dict | None = None,
+        residual: bool = True,
     ) -> DataFrame:
         """Read a snapshot; with ``where``, plan the file list from
         manifest stats and open only overlapping files, then re-apply
         the same ranges as a Spark filter (exactness does not depend
         on pruning). ``last_scan`` records planned-vs-total file
-        counts for plan audits."""
+        counts for plan audits.
+
+        ``residual=False`` skips the row-level re-filter and returns
+        the FILE-GRANULARITY SUPERSET — Iceberg's planFiles contract,
+        for callers whose downstream operator applies the predicate
+        anyway (e.g. pip_join's cover join after an aoi_cell_ranges
+        pushdown: a 100+-term OR-of-ranges residual over every row
+        costs more than the join that subsumes it; measured 15x at
+        16M rows, PLANS.md)."""
         all_files = self.files(snapshot_id)
         if not all_files:
             raise ValueError(f"table {self.root} is empty (no committed snapshot)")
@@ -185,11 +213,18 @@ class SnapshotTable:
             df = spark.read.parquet(all_files[0]["path"]).limit(0)
         else:
             df = spark.read.parquet(*[f["path"] for f in picked])
-        for col, (lo, hi) in (where or {}).items():
-            if lo is not None:
-                df = df.filter(F.col(col) >= F.lit(lo))
-            if hi is not None:
-                df = df.filter(F.col(col) <= F.lit(hi))
+        if not residual:
+            return df
+        for col, pred in (where or {}).items():
+            clause = None
+            for lo, hi in _as_ranges(pred):
+                term = F.lit(True)
+                if lo is not None:
+                    term = term & (F.col(col) >= F.lit(lo))
+                if hi is not None:
+                    term = term & (F.col(col) <= F.lit(hi))
+                clause = term if clause is None else (clause | term)
+            df = df.filter(clause)
         return df
 
     read_at = read  # alias: time-travel read

@@ -2,6 +2,7 @@
 (SURVEY.md §7.1 M1)."""
 
 import numpy as np
+import pytest
 
 from gelos_spark.functions import cells
 
@@ -144,3 +145,38 @@ def test_cell_encode_col_matches_numpy_kernel(spark):
         )
         want = cells.cell_encode(lon, lat, res)
         assert (got == want).all(), f"mismatch at res {res}"
+
+
+def test_cell_ranges_prefix_blocks_and_merging():
+    """cell_ranges turns a coarse cover into merged tile-res Morton
+    ranges: membership in some range must EXACTLY equal parent-in-
+    cover (the quadtree prefix property), and consecutive coarse cells
+    must merge into one range."""
+    import numpy as np
+
+    from gelos_spark.functions import cells as C
+
+    res, tile_res = 5, 9
+    rng = np.random.default_rng(7)
+    cover = np.unique(rng.integers(0, 1 << (2 * res), size=40, dtype=np.int64))
+    ranges = C.cell_ranges(cover, res, tile_res)
+
+    # exactness on random tile cells: in-some-range <=> parent in cover
+    tiles = rng.integers(0, 1 << (2 * tile_res), size=5000, dtype=np.int64)
+    parents = C.cell_parent(tiles, tile_res, res)
+    in_cover = np.isin(parents, cover)
+    in_range = np.zeros(len(tiles), dtype=bool)
+    for lo, hi in ranges:
+        in_range |= (tiles >= lo) & (tiles <= hi)
+    assert (in_range == in_cover).all()
+
+    # consecutive cells merge: [4,5,6] at delta=2 -> ONE range
+    merged = C.cell_ranges(np.array([4, 5, 6]), 3, 5)
+    assert merged.tolist() == [[4 << 4, (7 << 4) - 1]]
+    # gap stays split
+    split = C.cell_ranges(np.array([4, 6]), 3, 5)
+    assert len(split) == 2
+
+    assert C.cell_ranges(np.array([], dtype=np.int64), 3, 5).shape == (0, 2)
+    with pytest.raises(ValueError):
+        C.cell_ranges(np.array([1]), 5, 3)

@@ -338,3 +338,56 @@ def test_iceberg_probe_and_fallback(spark, tmp_path, monkeypatch):
 
     with _pytest.raises(ValueError):
         IcebergTable(spark, "bad name; drop")
+
+
+def test_pruned_read_or_of_ranges(spark, tmp_path):
+    """A predicate may be an OR of ranges ({col: [(lo,hi), ...]}) —
+    the polygon-cover pushdown shape. Union semantics must be exact
+    and still prune."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.append(_cells_df(spark), cluster_by=["cell"], num_files=8)
+    ranges = [(0, 60_000), (500_000, 560_000), (900_000, 999_999)]
+    got = t.read(spark, where={"cell": ranges})
+    n = got.count()
+    assert 0 < t.last_scan["files_read"] < 8
+    cond = None
+    for lo, hi in ranges:
+        term = F.col("cell").between(lo, hi)
+        cond = term if cond is None else (cond | term)
+    full = t.read(spark).filter(cond)
+    assert n == full.count() > 0
+    assert _xor(got, "id", "cell") == _xor(full, "id", "cell")
+    with pytest.raises(ValueError):
+        t.read(spark, where={"cell": []})
+
+
+def test_spatial_pushdown_pip_join_exact(spark, tmp_path):
+    """End-to-end spatial predicate pushdown: AOI polygons -> quadtree
+    cover -> merged Morton tile-cell ranges (aoi_cell_ranges) ->
+    manifest file pruning -> PIP join. The cover is a superset of any
+    contained tile, so the join over the pruned read must equal the
+    full-table join row for row while opening fewer files."""
+    from gelos_spark.operators.pip_join import aoi_cell_ranges, pip_join
+    from gelos_spark.sources import synth
+
+    tiles = synth.tracker_df(spark, 8000, seed=42)
+    from gelos_spark.functions.cell_udfs import cell_encode_col
+
+    cells_df = tiles.withColumn(
+        "cell", cell_encode_col(F.col("lon"), F.col("lat"), 16)
+    )
+    t = SnapshotTable(str(tmp_path / "tiles"))
+    t.overwrite(cells_df, cluster_by=["cell"], num_files=16)
+
+    aois = synth.aoi_polygons(6, seed=42)
+    ranges = aoi_cell_ranges(aois)
+    assert ranges  # non-degenerate cover
+
+    pruned = t.read(spark, where={"cell": ranges})
+    got = pip_join(spark, pruned, aois, tile_cell_col="cell")
+    assert 0 < t.last_scan["files_read"] < t.last_scan["files_total"]
+
+    exp = pip_join(spark, t.read(spark), aois, tile_cell_col="cell")
+    g = [tuple(r) for r in got.select("aoi_id", "image_id").collect()]
+    e = [tuple(r) for r in exp.select("aoi_id", "image_id").collect()]
+    assert g == e and len(g) > 0
