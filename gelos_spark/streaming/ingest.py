@@ -75,18 +75,29 @@ def stream_dedup(stream: DataFrame, watermark: str = "2 minutes") -> DataFrame:
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["image_id"])
 
 
-def sink_to_snapshot(df: DataFrame, table_root: str, query_name: str, checkpoint: str):
+def sink_to_snapshot(
+    df: DataFrame,
+    table_root: str,
+    query_name: str,
+    checkpoint: str,
+    cluster_by: list[str] | None = None,
+):
     """writeStream via foreachBatch into a SnapshotTable: each
     micro-batch commits atomically as partition ``batch-{id}``;
     replays of the same micro-batch (after a crash between the data
     write and Spark's own offset commit) OVERWRITE rather than
-    double-append — end-to-end idempotent."""
+    double-append — end-to-end idempotent. ``cluster_by`` range-sorts
+    each batch's files on the given keys so the manifest stats prune
+    later range scans (the small per-batch files then bin-pack via
+    ``SnapshotTable.compact`` without losing the clustering)."""
     from gelos_spark.tables.snapshot import SnapshotTable
 
     table = SnapshotTable(table_root)
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
-        table.overwrite_partition(batch_df, partition=f"batch-{batch_id}")
+        table.overwrite_partition(
+            batch_df, partition=f"batch-{batch_id}", cluster_by=cluster_by
+        )
 
     return (
         df.writeStream.foreachBatch(commit)

@@ -340,6 +340,7 @@ class SnapshotTable:
         spark: SparkSession,
         target_file_bytes: int = 128 << 20,
         cluster_by: list[str] | None = None,
+        merge_partitions: bool = False,
     ) -> int | None:
         """Bin-pack small data files (< ``target_file_bytes``) into
         fewer large ones, per partition tag, committed as ONE normal
@@ -352,12 +353,22 @@ class SnapshotTable:
         small files and manifest entries; compaction bounds both
         (Iceberg's rewrite_data_files). The rewrite itself is a
         distributed read→write; only manifest surgery is driver-side.
+
+        Grouping respects partition tags by default, so
+        ``overwrite_partition`` keeps working per tag.
+        ``merge_partitions=True`` bin-packs ACROSS tags into one
+        ``__compacted__`` tag — the streaming-sink shape (one small
+        file per ``batch-{id}``); only safe once those batch ids can
+        no longer replay (the stream's offset checkpoint has committed
+        past them), since a replayed overwrite_partition can't target
+        rows folded into the merged tag anymore.
         """
         files = self.files()
         by_part: dict[str | None, list[dict]] = {}
         for f in files:
             if f["bytes"] < target_file_bytes:
-                by_part.setdefault(f["partition"], []).append(f)
+                key = "__compacted__" if merge_partitions else f["partition"]
+                by_part.setdefault(key, []).append(f)
         groups = {p: fs for p, fs in by_part.items() if len(fs) >= 2}
         if not groups:
             return None

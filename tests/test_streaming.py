@@ -88,15 +88,30 @@ def test_stream_dedup_and_snapshot_sink(spark, tmp_path):
     deduped = ingest.stream_dedup(ingest.stream_encode(stream, res=16))
     table_root = str(tmp_path / "snap")
     q = ingest.sink_to_snapshot(
-        deduped, table_root, "dedup_sink", str(tmp_path / "ckpt")
+        deduped, table_root, "dedup_sink", str(tmp_path / "ckpt"), cluster_by=["cell"]
     ).start()
     q.awaitTermination(120)
-    out = SnapshotTable(table_root).read(spark)
+    t = SnapshotTable(table_root)
+    out = t.read(spark)
     ids = [r.image_id for r in out.select("image_id").collect()]
     assert len(ids) == len(set(ids)) == 400  # duplicates dropped
     # micro-batch partitions committed with lineage-friendly tags
-    parts = SnapshotTable(table_root).partitions()
+    parts = t.partitions()
     assert all(p.startswith("batch-") for p in parts)
+    # clustered batches carry cell stats -> later range scans prune;
+    # compacting the small per-batch files preserves content exactly
+    assert all("cell" in f["stats"] for f in t.files())
+    from pyspark.sql import functions as F
+
+    pre = out.agg(F.bit_xor(F.xxhash64("image_id", "cell"))).collect()
+    # merge_partitions folds the per-batch tags into one (safe once
+    # replay is impossible, i.e. after awaitTermination): fewer files,
+    # same rows bit for bit
+    n_files = len(t.files())
+    assert t.compact(spark, cluster_by=["cell"], merge_partitions=True) is not None
+    assert len(t.files()) < n_files
+    post = t.read(spark).agg(F.bit_xor(F.xxhash64("image_id", "cell"))).collect()
+    assert pre == post
 
 
 def test_running_cell_stats_state_across_batches(spark, tmp_path):
