@@ -132,6 +132,32 @@ def aoi_cell_ranges(
     return [tuple(map(int, r)) for r in cells.cell_ranges(union, cover_res, tile_res)]
 
 
+def pip_join_pruned(
+    spark: SparkSession,
+    table,
+    aois: list[dict],
+    cover_res: int | None = None,
+    cell_col: str = "cell",
+    **pip_kwargs,
+) -> DataFrame:
+    """PIP join straight off a snapshot table with spatial pushdown:
+    plan the scan from the AOIs' merged Morton ranges (file-granularity
+    superset — pip_join's cover join applies the exact predicate), then
+    join. Row-identical to ``pip_join(spark, table.read(spark), aois)``
+    while opening only the data files whose cell range can intersect an
+    AOI; ``table.last_scan`` reports the file counts.
+
+    ``table`` is a SnapshotTable (or anything with the same
+    ``read(spark, where=..., residual=...)`` surface) whose rows carry
+    a res-TILE_RES ``cell_col``."""
+    cover_res = cover_res or pick_cover_res(aois)
+    ranges = aoi_cell_ranges(aois, cover_res)
+    tiles = table.read(spark, where={cell_col: ranges}, residual=False)
+    return pip_join(
+        spark, tiles, aois, cover_res=cover_res, tile_cell_col=cell_col, **pip_kwargs
+    )
+
+
 def build_edges_df(spark: SparkSession, aois: list[dict]) -> DataFrame:
     """Exploded polygon-edge table (aoi_id, x1, y1, x2, y2, wrapped)
     for the relational ray-cast. Horizontal edges are dropped — they

@@ -116,10 +116,16 @@ def _as_ranges(pred) -> list[tuple]:
 
 
 def _range_hits(smin, smax, lo, hi) -> bool:
-    if hi is not None and smin > hi:
-        return False
-    if lo is not None and smax < lo:
-        return False
+    try:
+        if hi is not None and smin > hi:
+            return False
+        if lo is not None and smax < lo:
+            return False
+    except TypeError:
+        # predicate/stat type mismatch (e.g. int range on a string
+        # column): never prune on a comparison we can't evaluate —
+        # the residual filter still applies the caller's predicate
+        return True
     return True
 
 

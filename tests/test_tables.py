@@ -391,3 +391,26 @@ def test_spatial_pushdown_pip_join_exact(spark, tmp_path):
     g = [tuple(r) for r in got.select("aoi_id", "image_id").collect()]
     e = [tuple(r) for r in exp.select("aoi_id", "image_id").collect()]
     assert g == e and len(g) > 0
+
+    # the one-call convenience wires the same pushdown
+    from gelos_spark.operators.pip_join import pip_join_pruned
+
+    conv = pip_join_pruned(spark, t, aois)
+    assert [tuple(r) for r in conv.select("aoi_id", "image_id").collect()] == e
+    assert t.last_scan["files_read"] < t.last_scan["files_total"]
+
+
+def test_prune_type_mismatch_is_conservative(spark, tmp_path):
+    """An int range against a string column's stats can't be compared
+    — the planner must keep every file (never prune on a comparison it
+    can't evaluate); the residual filter still applies."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.append(_cells_df(spark, 300), cluster_by=["cell"], num_files=3)
+    # name is a string column: the int range can't be compared to its
+    # stats, so planning keeps all files (the residual filter — whose
+    # typing is the caller's contract — would still apply on read)
+    assert len(t.plan_files({"name": (0, 10)})) == 3
+    # sane predicates on the same column DO prune after clustering
+    t2 = SnapshotTable(str(tmp_path / "t2"))
+    t2.append(_cells_df(spark, 3000), cluster_by=["name"], num_files=4)
+    assert len(t2.plan_files({"name": ("img_1", "img_1~")})) < 4
