@@ -51,6 +51,15 @@ At cluster scale the same protocol works on any store with atomic
 rename (HDFS) or conditional put (S3); data-file writes are fully
 distributed (df.write.parquet) — only the tiny manifest commit and
 the footer-stat harvest are driver-side, exactly like Iceberg's.
+
+Concurrency contract: ONE writer per table at a time (the engine's
+actual shapes — each pipeline stage owns its table, the streaming
+sink is a single query). Readers are always safe against a
+concurrent writer (they only follow ``_current``), but two
+simultaneous commits would last-write-win the pointer; supporting
+them needs a compare-and-swap on the current pointer plus
+retry-with-rebase, which is exactly the role Iceberg delegates to
+its catalog.
 """
 
 from __future__ import annotations
