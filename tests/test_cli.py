@@ -115,7 +115,7 @@ def test_shipped_training_data_config_runs_end_to_end(spark, tmp_path):
     from gelos_spark.plans.checkpoint import Pipeline
 
     pipe = Pipeline(spark, root, "training_data_v1")
-    assert pipe.log.lineage("training_data_v1").where("status = 'done'").count() == 13
+    assert pipe.log.lineage("training_data_v1").where("status = 'done'").count() == 14
 
     # docs branch: the survivors stage keeps one doc per duplicate
     # CLUSTER — pinned against a union-find over the committed pairs
@@ -153,7 +153,14 @@ def test_shipped_training_data_config_runs_end_to_end(spark, tmp_path):
     assert dups <= planted and len(dups) == 63
     assert pipe.output("retrieval").count() == 6
 
+    # declarative layout + maintenance: the clustered stage carries
+    # cell stats for manifest pruning, and expire_keep_last left one
+    # snapshot per stage table
+    cc = pipe.table("chip_cells")
+    assert all("cell" in f["stats"] for f in cc.files())
+    assert len(cc.snapshots()) == 1
+
     # second invocation resume-skips: no duplicate lineage
     assert cli.main(["run", "jobs/training_data.yaml", "--root", root,
                      "--keep-session"]) == 0
-    assert pipe.log.lineage("training_data_v1").where("status = 'done'").count() == 13
+    assert pipe.log.lineage("training_data_v1").where("status = 'done'").count() == 14
