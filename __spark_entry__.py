@@ -1755,6 +1755,58 @@ def _knn_distributed(spark, sf_dir):
     )
 
 
+@_q(
+    "asof_join",
+    # nearest-preceding-event join (operators/asof.py): every purchase
+    # gets its user's latest at-or-before click. The engine's
+    # union + running-last window must equal DuckDB's native ASOF LEFT
+    # JOIN row for row (right side deduped to max click_id per
+    # (user, ts) in the oracle = the engine's tiebreak contract).
+    # Past-window (slots full), verified by check_oracle +
+    # test_past_window_oracles; brute-force pandas oracles incl.
+    # forward/tolerance/ties in tests/test_asof.py.
+    "WITH l AS (SELECT event_id, user_id, ts, value FROM events "
+    "WHERE event_type = 'purchase'), "
+    "r0 AS (SELECT user_id, ts, event_id AS click_id, value AS click_value "
+    "FROM events WHERE event_type = 'click'), "
+    "r AS (SELECT user_id, ts, click_id, click_value FROM ("
+    "SELECT r0.*, row_number() OVER (PARTITION BY user_id, ts "
+    "ORDER BY click_id DESC) AS rn FROM r0) WHERE rn = 1) "
+    "SELECT l.event_id, l.user_id, round(l.value, 6) AS value, "
+    "r.click_id AS click_id_r, round(r.click_value, 6) AS click_value_r "
+    "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts "
+    "ORDER BY l.event_id",
+)
+def _asof_join(spark, sf_dir):
+    from gelos_spark.operators.asof import asof_join
+
+    (ev,) = _tables(spark, sf_dir, "events")
+    purchases = ev.where("event_type = 'purchase'").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.where("event_type = 'click'").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="ts",
+        by="user_id",
+        right_cols=["click_id", "click_value"],
+        tiebreak="click_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("value", 6).alias("value"),
+        "click_id_r",
+        F.round("click_value_r", 6).alias("click_value_r"),
+    ).orderBy("event_id")
+
+
 @_q("minhash_lsh_pairs")
 def _minhash_lsh_pairs(spark, sf_dir):
     (docs,) = _tables(spark, sf_dir, "documents")

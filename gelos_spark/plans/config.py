@@ -515,6 +515,22 @@ def _op_perturb(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
     return out
 
 
+@op("asof_join", required=("right",), needs_input=True)
+def _op_asof_join(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
+    """Nearest-event attribution as a pipeline stage: the input stage
+    is the left side, ``right`` names another COMMITTED stage whose
+    latest at-or-before (or ``direction: forward``) row attaches per
+    ``by`` key. See operators/asof.py for the one-shuffle plan."""
+    from gelos_spark.operators.asof import asof_join
+
+    kw = {
+        k: conf[k]
+        for k in ("on", "by", "right_cols", "direction", "tolerance_us", "tiebreak", "suffix")
+        if k in conf
+    }
+    return asof_join(conf["__input__"], pipe.output(conf["right"]), **kw)
+
+
 @op("union_stages", required=("others",), needs_input=True)
 def _op_union_stages(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
     """Union the input stage with other COMMITTED stages' outputs by
@@ -651,6 +667,10 @@ def validate_config(conf: dict) -> None:
                     raise ValueError(
                         f"stage {name!r} unions stage {ref!r} before it is defined"
                     )
+        if opname == "asof_join" and args.get("right") not in seen:
+            raise ValueError(
+                f"stage {name!r} joins stage {args.get('right')!r} before it is defined"
+            )
         missing = [k for k in _OP_REQUIRED.get(opname, ()) if k not in args]
         if missing:
             raise ValueError(

@@ -542,3 +542,42 @@ stages:
     assert p2.skipped == ["tiles", "cells"]
     h2 = p2.output("cells").agg(F.bit_xor(F.xxhash64("image_id", "cell"))).collect()
     assert h == h2
+
+
+def test_asof_join_config_op(spark, tmp_path):
+    """asof_join as a declarative stage: right side wired by stage
+    name (validated defined-before, like union_stages' refs)."""
+    import yaml as _yaml
+
+    conf = _yaml.safe_load(
+        """
+run_id: t1
+stages:
+  - name: clicks
+    op: read_parquet
+    args: {path: /root/testdata/sf0.001/events.parquet}
+  - name: purchases
+    op: read_parquet
+    args: {path: /root/testdata/sf0.001/events.parquet}
+  - name: attributed
+    op: asof_join
+    input: purchases
+    args: {right: clicks, on: ts, by: user_id, right_cols: [value], tiebreak: event_id}
+"""
+    )
+    pipe = cfg.build_pipeline(spark, conf, root=str(tmp_path / "run"))
+    out = pipe.output("attributed")
+    assert out.count() == pipe.output("purchases").count() > 0
+    assert {"value_r", "ts_r"} <= set(out.columns)
+
+    bad = {
+        "run_id": "t2",
+        "stages": [
+            {"name": "l", "op": "read_parquet",
+             "args": {"path": "/root/testdata/sf0.001/events.parquet"}},
+            {"name": "j", "op": "asof_join", "input": "l",
+             "args": {"right": "not_yet", "on": "ts", "by": "user_id"}},
+        ],
+    }
+    with pytest.raises(ValueError, match="before it is defined"):
+        cfg.validate_config(bad)

@@ -41,6 +41,7 @@ PAST_WINDOW_ORACLE_QUERIES = [
     "hash_split_assign",
     "snapshot_pruned_scan",
     "knn_distributed",
+    "asof_join",
 ]
 
 
