@@ -1807,6 +1807,39 @@ def _asof_join(spark, sf_dir):
     ).orderBy("event_id")
 
 
+@_q(
+    "sessionize",
+    # gap-based sessionization (functions/sessions.py): per-user
+    # session ordinals from the gaps-and-islands window construction,
+    # aggregated to one row per session. The oracle rebuilds the same
+    # lag/running-sum algebra in DuckDB SQL; tie order at duplicate
+    # (user, ts) provably cannot change the aggregates (gap 0 keeps
+    # ties in one session). Past-window (slots full), verified by
+    # check_oracle + test_past_window_oracles.
+    "WITH e AS (SELECT user_id, ts FROM events WHERE ts IS NOT NULL), "
+    "g AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL OR "
+    "epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS ns "
+    "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+    "s AS (SELECT user_id, ts, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts "
+    "ROWS UNBOUNDED PRECEDING) AS session_ord FROM g) "
+    "SELECT user_id, CAST(session_ord AS BIGINT) AS session_ord, "
+    "COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end "
+    "FROM s GROUP BY user_id, session_ord ORDER BY user_id, session_ord",
+)
+def _sessionize(spark, sf_dir):
+    from gelos_spark.functions.sessions import session_stats
+
+    (ev,) = _tables(spark, sf_dir, "events")
+    out = session_stats(ev, on="ts", by="user_id", gap_us=1_800_000_000)
+    return out.select(
+        "user_id",
+        F.col("session_ord").cast("long").alias("session_ord"),
+        "n_events",
+        "session_start",
+        "session_end",
+    ).orderBy("user_id", "session_ord")
+
+
 @_q("minhash_lsh_pairs")
 def _minhash_lsh_pairs(spark, sf_dir):
     (docs,) = _tables(spark, sf_dir, "documents")

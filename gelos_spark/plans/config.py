@@ -531,6 +531,17 @@ def _op_asof_join(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
     return asof_join(conf["__input__"], pipe.output(conf["right"]), **kw)
 
 
+@op("sessionize", needs_input=True)
+def _op_sessionize(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
+    """Gap-based session ordinals (functions/sessions.py) as a stage;
+    ``stats: true`` emits one row per session instead of per event."""
+    from gelos_spark.functions import sessions
+
+    kw = {k: conf[k] for k in ("on", "by", "gap_us") if k in conf}
+    fn = sessions.session_stats if conf.get("stats") else sessions.sessionize
+    return fn(conf["__input__"], **kw)
+
+
 @op("union_stages", required=("others",), needs_input=True)
 def _op_union_stages(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
     """Union the input stage with other COMMITTED stages' outputs by
