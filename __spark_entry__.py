@@ -1590,7 +1590,10 @@ def _snapshot_pruned_scan(spark, sf_dir):
     from gelos_spark.tables.snapshot import SnapshotTable
 
     (orders,) = _tables(spark, sf_dir, "orders")
-    root = f"{tempfile.gettempdir()}/gelos_pruned_q"
+    # per-sf_dir path: a fixed shared name would let a run at another
+    # scale factor rmtree the parquet files backing this run's
+    # still-lazy result frame
+    root = f"{tempfile.gettempdir()}/gelos_pruned_q_{_sf_key(sf_dir)}"
     shutil.rmtree(root, ignore_errors=True)
     t = SnapshotTable(root)
     cells = orders.withColumn(

@@ -78,7 +78,24 @@ def pick_cover_res(aois: list[dict], max_cells_per_aoi: int = 2048) -> int:
     return res
 
 
-def build_cover_df(spark: SparkSession, aois: list[dict], cover_res: int) -> DataFrame:
+def classify_covers(aois: list[dict], cover_res: int) -> list[tuple]:
+    """One ``polygon_cover_classified`` result per AOI — factored out
+    so a caller needing both the cover DataFrame and the Morton scan
+    ranges (pip_join_pruned) computes the covers exactly once."""
+    return [
+        cells.polygon_cover_classified(
+            np.asarray(p["ring"], dtype=np.float64), cover_res, holes=p.get("holes")
+        )
+        for p in aois
+    ]
+
+
+def build_cover_df(
+    spark: SparkSession,
+    aois: list[dict],
+    cover_res: int,
+    classified: list[tuple] | None = None,
+) -> DataFrame:
     """Exploded (aoi_id, cover_cell, interior) DataFrame. Cover
     generation is driver-side NumPy: the AOI set is the engine's small
     dimension (SURVEY.md §2.6 G6); at scale with millions of AOIs this
@@ -87,11 +104,9 @@ def build_cover_df(spark: SparkSession, aois: list[dict], cover_res: int) -> Dat
     ``interior`` marks cells provably fully inside their polygon —
     tiles landing there skip ray-cast refinement (the bulk of a large
     AOI's area never touches the Python stage)."""
+    classified = classified or classify_covers(aois, cover_res)
     ids, cels, ints = [], [], []
-    for p in aois:
-        cover, interior = cells.polygon_cover_classified(
-            np.asarray(p["ring"], dtype=np.float64), cover_res, holes=p.get("holes")
-        )
+    for p, (cover, interior) in zip(aois, classified):
         ids.append(np.full(len(cover), p["aoi_id"], dtype=np.int64))
         cels.append(cover)
         ints.append(interior)
@@ -106,7 +121,10 @@ def build_cover_df(spark: SparkSession, aois: list[dict], cover_res: int) -> Dat
 
 
 def aoi_cell_ranges(
-    aois: list[dict], cover_res: int | None = None, tile_res: int = TILE_RES
+    aois: list[dict],
+    cover_res: int | None = None,
+    tile_res: int = TILE_RES,
+    classified: list[tuple] | None = None,
 ) -> list[tuple[int, int]]:
     """Merged tile-cell [lo, hi] ranges of the AOI set's union cover —
     the spatial predicate a snapshot table consumes for manifest file
@@ -120,12 +138,8 @@ def aoi_cell_ranges(
     that turns a city-sized query against a planet-sized table into a
     city-sized scan."""
     cover_res = cover_res or pick_cover_res(aois)
-    covers = [
-        cells.polygon_cover(
-            np.asarray(p["ring"], dtype=np.float64), cover_res, holes=p.get("holes")
-        )
-        for p in aois
-    ]
+    classified = classified or classify_covers(aois, cover_res)
+    covers = [cover for cover, _interior in classified]
     if not covers:
         return []
     union = np.concatenate(covers)
@@ -151,10 +165,19 @@ def pip_join_pruned(
     ``read(spark, where=..., residual=...)`` surface) whose rows carry
     a res-TILE_RES ``cell_col``."""
     cover_res = cover_res or pick_cover_res(aois)
-    ranges = aoi_cell_ranges(aois, cover_res)
+    # the covers feed BOTH the scan ranges and the join's cover side —
+    # classify once (cover generation is the expensive planning step)
+    classified = classify_covers(aois, cover_res)
+    ranges = aoi_cell_ranges(aois, cover_res, classified=classified)
     tiles = table.read(spark, where={cell_col: ranges}, residual=False)
     return pip_join(
-        spark, tiles, aois, cover_res=cover_res, tile_cell_col=cell_col, **pip_kwargs
+        spark,
+        tiles,
+        aois,
+        cover_res=cover_res,
+        tile_cell_col=cell_col,
+        classified_cover=classified,
+        **pip_kwargs,
     )
 
 
@@ -308,6 +331,7 @@ def pip_join(
     broadcast_cover: bool = True,
     ordered: bool = True,
     refine: str = "expr",
+    classified_cover: list[tuple] | None = None,
 ) -> DataFrame:
     """Assign every tile centroid to each AOI polygon containing it.
 
@@ -321,7 +345,7 @@ def pip_join(
     table is wasted shuffle at 10^12-tile scale.
     """
     cover_res = cover_res or pick_cover_res(aois)
-    cover = build_cover_df(spark, aois, cover_res)
+    cover = build_cover_df(spark, aois, cover_res, classified=classified_cover)
     if broadcast_cover:
         cover = F.broadcast(cover)
 

@@ -678,9 +678,15 @@ def validate_config(conf: dict) -> None:
                     raise ValueError(
                         f"stage {name!r} unions stage {ref!r} before it is defined"
                     )
-        if opname == "asof_join" and args.get("right") not in seen:
+        if (
+            opname == "asof_join"
+            and args.get("right") is not None
+            and args["right"] not in seen
+        ):
+            # a MISSING 'right' falls through to the required-args
+            # error below instead of a misleading "joins stage None"
             raise ValueError(
-                f"stage {name!r} joins stage {args.get('right')!r} before it is defined"
+                f"stage {name!r} joins stage {args['right']!r} before it is defined"
             )
         missing = [k for k in _OP_REQUIRED.get(opname, ()) if k not in args]
         if missing:
@@ -734,7 +740,14 @@ def build_pipeline(
         for st in conf["stages"]:
             tbl = pipe.table(st["name"])
             if target:
-                tbl.compact(spark, target_file_bytes=int(target))
+                # re-bin-pack WITH the stage's declared layout, or a
+                # plain rewrite would round-robin the rows and destroy
+                # the clustering the config asked for
+                tbl.compact(
+                    spark,
+                    target_file_bytes=int(target),
+                    cluster_by=st.get("cluster_by"),
+                )
             if keep:
                 tbl.expire_snapshots(keep_last=int(keep))
     return pipe

@@ -157,16 +157,26 @@ class IcebergTable:
         return self.current_snapshot_id()
 
     def expire_snapshots(self, keep_last: int = 1) -> dict[str, int]:
-        """Iceberg's ``expire_snapshots`` procedure (retain_last =
-        keep_last); orphan cleanup is a separate procedure upstream,
-        issued here too so the facade matches SnapshotTable's
-        expire-including-orphans contract."""
+        """Iceberg's ``expire_snapshots`` procedure with retain_last =
+        keep_last AND ``older_than`` = now: the procedure's default
+        older_than is now-minus-5-days, so without it any table whose
+        snapshots are younger (every fresh pipeline run) silently
+        expires NOTHING — diverging from SnapshotTable's
+        keep-only-last-N contract. Orphan cleanup is a separate
+        procedure upstream, issued here too so the facade matches
+        SnapshotTable's expire-including-orphans contract."""
         if keep_last < 1:
             raise ValueError("expire_snapshots: keep_last must be >= 1")
+        import datetime
+
         name = self.ident.split(".", 1)[1]
+        now = datetime.datetime.now(datetime.timezone.utc).strftime(
+            "%Y-%m-%d %H:%M:%S"
+        )
         self.spark.sql(
             f"CALL {ICEBERG_CATALOG}.system.expire_snapshots("
-            f"table => '{name}', retain_last => {int(keep_last)})"
+            f"table => '{name}', older_than => TIMESTAMP '{now}', "
+            f"retain_last => {int(keep_last)})"
         )
         self.spark.sql(
             f"CALL {ICEBERG_CATALOG}.system.remove_orphan_files(table => '{name}')"

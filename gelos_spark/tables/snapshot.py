@@ -274,14 +274,15 @@ class SnapshotTable:
             df = df.repartition(num_files)
         commit_dir = os.path.join(self.root, "data", uuid.uuid4().hex)
         df.write.mode("overwrite").parquet(commit_dir)
-        out = []
+        out: list[dict] = []
+        empties: list[str] = []
         for name in sorted(os.listdir(commit_dir)):
             if not name.endswith(".parquet"):
                 continue
             path = os.path.join(commit_dir, name)
             meta = pq.ParquetFile(path).metadata
             if meta.num_rows == 0:
-                os.remove(path)  # range partitions can be empty
+                empties.append(path)  # range partitions can be empty
                 continue
             out.append(
                 {
@@ -292,6 +293,22 @@ class SnapshotTable:
                     "stats": _file_column_stats(meta),
                 }
             )
+        if not out and empties:
+            # a legitimately EMPTY commit (stage produced 0 rows) must
+            # still register one schema-bearing file, or read() of the
+            # snapshot loses the table's schema and raises
+            keep = empties.pop(0)
+            out.append(
+                {
+                    "path": keep,
+                    "rows": 0,
+                    "bytes": os.path.getsize(keep),
+                    "partition": partition,
+                    "stats": {},
+                }
+            )
+        for p in empties:
+            os.remove(p)
         return out
 
     def _commit(self, files: list[dict]) -> int:
@@ -384,34 +401,56 @@ class SnapshotTable:
             if f["bytes"] < target_file_bytes:
                 key = "__compacted__" if merge_partitions else f["partition"]
                 by_part.setdefault(key, []).append(f)
-        groups = {p: fs for p, fs in by_part.items() if len(fs) >= 2}
-        if not groups:
-            return None
         rewritten: set[str] = set()
         new_files: list[dict] = []
-        for part, fs in groups.items():
+        for part, fs in by_part.items():
             total = sum(f["bytes"] for f in fs)
             n_out = max(1, -(-total // target_file_bytes))  # ceil
+            if len(fs) <= n_out:
+                # already as packed as the target allows — rewriting
+                # would emit the same number of sub-target files
+                # forever (convergence: compact() after compact() is a
+                # no-op)
+                continue
             src = spark.read.parquet(*[f["path"] for f in fs])
             new_files.extend(
                 self._write_data_files(src, part, cluster_by, num_files=int(n_out))
             )
             rewritten.update(f["path"] for f in fs)
+        if not rewritten:
+            return None
         kept = [f for f in files if f["path"] not in rewritten]
         return self._commit(kept + new_files)
 
+    def _committed_chain(self) -> list[int]:
+        """Snapshot ids actually reachable from ``_current`` via
+        parent links, oldest first. A manifest on disk that is NOT on
+        this chain is an orphan from a crashed commit (written before
+        the ``_current`` rename died) — it was never the table state
+        and must not anchor retention."""
+        chain: list[int] = []
+        sid = self.current_snapshot_id()
+        while sid is not None:
+            chain.append(sid)
+            try:
+                sid = self.manifest(sid).get("parent")
+            except FileNotFoundError:
+                break  # parent already expired earlier
+        return chain[::-1]
+
     def expire_snapshots(self, keep_last: int = 1) -> dict[str, int]:
-        """Retain the newest ``keep_last`` snapshots; delete older
-        manifests and every data file under ``root`` no retained
-        manifest references — including orphans from crashed commits
-        (files written but never committed). Mirrors Iceberg's
-        expire_snapshots + remove_orphan_files. Caveat (same as
-        Iceberg's): don't run concurrently with an in-flight write,
+        """Retain the newest ``keep_last`` snapshots OF THE COMMITTED
+        CHAIN (walked from ``_current`` — an on-disk manifest a
+        crashed commit left behind is an orphan, not a snapshot, and
+        is itself expired); delete older manifests and every data file
+        under ``root`` no retained manifest references. Mirrors
+        Iceberg's expire_snapshots + remove_orphan_files. Caveat (same
+        as Iceberg's): don't run concurrently with an in-flight write,
         whose not-yet-committed files look like orphans."""
         if keep_last < 1:
             raise ValueError("expire_snapshots: keep_last must be >= 1")
         sids = self.snapshots()
-        retained = sids[-keep_last:]
+        retained = self._committed_chain()[-keep_last:]
         referenced = {
             f["path"] for sid in retained for f in self.files(sid)
         }

@@ -142,6 +142,9 @@ def test_maintenance_issues_iceberg_procedures(spark, monkeypatch):
 
     t.expire_snapshots(keep_last=2)
     assert "expire_snapshots" in calls[2] and "retain_last => 2" in calls[2]
+    # without older_than => now the procedure's 5-day default silently
+    # expires nothing on young tables — must be pinned present
+    assert "older_than => TIMESTAMP '" in calls[2]
     assert "remove_orphan_files" in calls[3]
 
     with pytest.raises(ValueError):

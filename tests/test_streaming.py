@@ -98,9 +98,11 @@ def test_stream_dedup_and_snapshot_sink(spark, tmp_path):
     # micro-batch partitions committed with lineage-friendly tags
     parts = t.partitions()
     assert all(p.startswith("batch-") for p in parts)
-    # clustered batches carry cell stats -> later range scans prune;
+    # clustered batches carry cell stats -> later range scans prune
+    # (an empty batch keeps one schema-bearing 0-row file, no stats);
     # compacting the small per-batch files preserves content exactly
-    assert all("cell" in f["stats"] for f in t.files())
+    assert all("cell" in f["stats"] for f in t.files() if f["rows"] > 0)
+    assert any(f["rows"] > 0 for f in t.files())
     from pyspark.sql import functions as F
 
     pre = out.agg(F.bit_xor(F.xxhash64("image_id", "cell"))).collect()

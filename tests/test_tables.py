@@ -414,3 +414,81 @@ def test_prune_type_mismatch_is_conservative(spark, tmp_path):
     t2 = SnapshotTable(str(tmp_path / "t2"))
     t2.append(_cells_df(spark, 3000), cluster_by=["name"], num_files=4)
     assert len(t2.plan_files({"name": ("img_1", "img_1~")})) < 4
+
+
+def test_expire_after_crashed_commit_keeps_current(spark, tmp_path, monkeypatch):
+    """Retention anchors on the COMMITTED chain (walked from _current),
+    never on manifests merely present on disk: an orphan manifest from
+    a crashed commit must be expired, not displace the live snapshot
+    (which a naive newest-N-on-disk rule would delete — data loss)."""
+    from gelos_spark.tables import snapshot as snap_mod
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.overwrite(spark.range(0, 40).coalesce(1))
+    s1 = t.current_snapshot_id()
+
+    real_rename = snap_mod.os.rename
+
+    def dying_rename(src, dst, *a, **k):
+        if str(dst).endswith("_current"):
+            raise RuntimeError("killed at the commit point")
+        return real_rename(src, dst, *a, **k)
+
+    monkeypatch.setattr(snap_mod.os, "rename", dying_rename)
+    with pytest.raises(RuntimeError):
+        t.append(spark.range(40, 60).coalesce(1))
+    monkeypatch.setattr(snap_mod.os, "rename", real_rename)
+    assert os.path.exists(os.path.join(t.root, "manifests", f"{s1 + 1}.json"))
+
+    res = t.expire_snapshots(keep_last=1)
+    assert res["expired_manifests"] == 1  # the orphan, not the live one
+    assert t.current_snapshot_id() == s1
+    assert t.read(spark).count() == 40  # current snapshot fully intact
+    assert t.snapshots() == [s1]
+
+
+def test_empty_commit_keeps_schema_readable(spark, tmp_path):
+    """A stage can legitimately produce 0 rows (filter matches
+    nothing, fully-caught-up resume delta): the commit must register a
+    schema-bearing empty file so read() returns an empty frame instead
+    of raising."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.overwrite_partition(
+        spark.range(0, 100).withColumn("v", F.col("id") * 2).where("id < 0"),
+        partition="stage_a",
+    )
+    out = t.read(spark)
+    assert out.count() == 0
+    assert set(out.columns) == {"id", "v"}
+    assert t.total_rows() == 0
+    # the stage wrapper's commit-then-read path survives too
+    p = Pipeline(spark, str(tmp_path / "p"), "r1")
+    got = p.stage("empty", lambda sp: sp.range(5).where("id > 99"))
+    assert got.count() == 0
+
+
+def test_compact_converges_and_keeps_clustering(spark, tmp_path):
+    """compact() must be a fixpoint: once a partition's files are as
+    packed as the target allows (ceil(total/target) files), further
+    calls are no-ops — no eternal rewrite churn on every maintenance
+    run. With cluster_by, the rewritten files keep tight disjoint key
+    ranges (the layout the table declared)."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    big = (
+        spark.range(0, 60000)
+        .withColumn("cell", (F.col("id") * F.lit(2654435761)) % F.lit(1_000_000))
+        .withColumn("pad", F.sha2(F.col("id").cast("string"), 256))
+    )
+    t.overwrite(big, cluster_by=["cell"], num_files=8)
+    sizes = [f["bytes"] for f in t.files()]
+    target = int(sum(sizes) / 2.5)  # forces n_out=3 < 8 files
+    sid = t.compact(spark, target_file_bytes=target, cluster_by=["cell"])
+    assert sid is not None
+    post = t.files()
+    assert 1 < len(post) < 8
+    # clustering preserved: per-file cell ranges are disjoint in order
+    spans = sorted(f["stats"]["cell"] for f in post)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2
+    # fixpoint: the packed files don't re-compact forever
+    assert t.compact(spark, target_file_bytes=target, cluster_by=["cell"]) is None
