@@ -104,7 +104,15 @@ def build_cover_df(
     ``interior`` marks cells provably fully inside their polygon —
     tiles landing there skip ray-cast refinement (the bulk of a large
     AOI's area never touches the Python stage)."""
-    classified = classified or classify_covers(aois, cover_res)
+    if classified is None:
+        classified = classify_covers(aois, cover_res)
+    elif len(classified) != len(aois):
+        # zip would silently drop trailing AOIs from the cover —
+        # misuse (a stale precomputed list) must be loud
+        raise ValueError(
+            f"build_cover_df: classified has {len(classified)} entries "
+            f"for {len(aois)} aois"
+        )
     ids, cels, ints = [], [], []
     for p, (cover, interior) in zip(aois, classified):
         ids.append(np.full(len(cover), p["aoi_id"], dtype=np.int64))
@@ -138,7 +146,15 @@ def aoi_cell_ranges(
     that turns a city-sized query against a planet-sized table into a
     city-sized scan."""
     cover_res = cover_res or pick_cover_res(aois)
-    classified = classified or classify_covers(aois, cover_res)
+    if classified is None:
+        classified = classify_covers(aois, cover_res)
+    elif len(classified) != len(aois):
+        # short list ⇒ ranges MISS the dropped AOIs' files ⇒ a pruned
+        # read would silently lose their assignments
+        raise ValueError(
+            f"aoi_cell_ranges: classified has {len(classified)} entries "
+            f"for {len(aois)} aois"
+        )
     covers = [cover for cover, _interior in classified]
     if not covers:
         return []

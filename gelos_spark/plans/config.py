@@ -688,7 +688,8 @@ def validate_config(conf: dict) -> None:
             raise ValueError(
                 f"stage {name!r} joins stage {args['right']!r} before it is defined"
             )
-        missing = [k for k in _OP_REQUIRED.get(opname, ()) if k not in args]
+        # an explicit `key: null` in YAML is as missing as an absent key
+        missing = [k for k in _OP_REQUIRED.get(opname, ()) if args.get(k) is None]
         if missing:
             raise ValueError(
                 f"stage {name!r} (op {opname!r}) is missing required args {missing}"

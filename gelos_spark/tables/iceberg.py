@@ -170,8 +170,12 @@ class IcebergTable:
         import datetime
 
         name = self.ident.split(".", 1)[1]
+        # microsecond precision + explicit UTC offset: a floored or
+        # zone-naive literal retains same-second snapshots (or, on a
+        # non-UTC session timezone, everything younger than the zone
+        # gap) past keep_last
         now = datetime.datetime.now(datetime.timezone.utc).strftime(
-            "%Y-%m-%d %H:%M:%S"
+            "%Y-%m-%d %H:%M:%S.%f+00:00"
         )
         self.spark.sql(
             f"CALL {ICEBERG_CATALOG}.system.expire_snapshots("

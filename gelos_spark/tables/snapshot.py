@@ -255,6 +255,7 @@ class SnapshotTable:
         partition: str | None,
         cluster_by: list[str] | None = None,
         num_files: int | None = None,
+        keep_empty_if_none: bool = True,
     ) -> list[dict]:
         if cluster_by:
             # Z-order-style layout: range-partition + sort on the
@@ -293,10 +294,13 @@ class SnapshotTable:
                     "stats": _file_column_stats(meta),
                 }
             )
-        if not out and empties:
+        if not out and empties and keep_empty_if_none:
             # a legitimately EMPTY commit (stage produced 0 rows) must
-            # still register one schema-bearing file, or read() of the
-            # snapshot loses the table's schema and raises
+            # still register one schema-bearing file when the TABLE
+            # would otherwise end up file-less, or read() loses the
+            # schema and raises. Callers whose commit keeps other
+            # files pass keep_empty_if_none=False so an idle stream's
+            # empty batches don't accumulate 0-row files forever.
             keep = empties.pop(0)
             out.append(
                 {
@@ -339,8 +343,11 @@ class SnapshotTable:
         num_files: int | None = None,
     ) -> int:
         """Atomic append: new snapshot = old files + newly written files."""
-        new_files = self._write_data_files(df, partition, cluster_by, num_files)
-        return self._commit(self.files() + new_files)
+        prior = self.files()
+        new_files = self._write_data_files(
+            df, partition, cluster_by, num_files, keep_empty_if_none=not prior
+        )
+        return self._commit(prior + new_files)
 
     def overwrite_partition(
         self,
@@ -351,8 +358,10 @@ class SnapshotTable:
     ) -> int:
         """Idempotent replace of every file tagged with ``partition``
         (the resume path re-runs a stage safely)."""
-        new_files = self._write_data_files(df, partition, cluster_by, num_files)
         kept = [f for f in self.files() if f["partition"] != partition]
+        new_files = self._write_data_files(
+            df, partition, cluster_by, num_files, keep_empty_if_none=not kept
+        )
         return self._commit(kept + new_files)
 
     def overwrite(
@@ -459,6 +468,11 @@ class SnapshotTable:
             if sid not in retained:
                 os.remove(os.path.join(self.root, "manifests", f"{sid}.json"))
                 dropped_manifests += 1
+        # crashed commits can also strand _current.tmp.* pointer files
+        # in the table root — same leftover class as orphan manifests
+        for name in list(os.listdir(self.root)):
+            if name.startswith("_current.tmp."):
+                os.remove(os.path.join(self.root, name))
         deleted_files = 0
         data_root = os.path.join(self.root, "data")
         for commit_dir in list(os.listdir(data_root)):

@@ -581,3 +581,19 @@ stages:
     }
     with pytest.raises(ValueError, match="before it is defined"):
         cfg.validate_config(bad)
+
+
+def test_explicit_null_required_arg_fails_validation(spark):
+    """YAML `right: null` must fail as a missing required arg, not
+    slip past validation into a mid-run crash on pipe.output(None)."""
+    bad = {
+        "run_id": "t",
+        "stages": [
+            {"name": "l", "op": "read_parquet",
+             "args": {"path": "/root/testdata/sf0.001/events.parquet"}},
+            {"name": "j", "op": "asof_join", "input": "l",
+             "args": {"right": None, "on": "ts", "by": "user_id"}},
+        ],
+    }
+    with pytest.raises(ValueError, match="missing required args"):
+        cfg.validate_config(bad)

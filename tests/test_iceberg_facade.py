@@ -143,8 +143,15 @@ def test_maintenance_issues_iceberg_procedures(spark, monkeypatch):
     t.expire_snapshots(keep_last=2)
     assert "expire_snapshots" in calls[2] and "retain_last => 2" in calls[2]
     # without older_than => now the procedure's 5-day default silently
-    # expires nothing on young tables — must be pinned present
-    assert "older_than => TIMESTAMP '" in calls[2]
+    # expires nothing on young tables — must be pinned present, at
+    # microsecond precision with an explicit UTC offset (a floored or
+    # zone-naive literal under-expires)
+    import re
+
+    assert re.search(
+        r"older_than => TIMESTAMP '\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d{6}\+00:00'",
+        calls[2],
+    )
     assert "remove_orphan_files" in calls[3]
 
     with pytest.raises(ValueError):

@@ -492,3 +492,41 @@ def test_compact_converges_and_keeps_clustering(spark, tmp_path):
         assert hi1 <= lo2
     # fixpoint: the packed files don't re-compact forever
     assert t.compact(spark, target_file_bytes=target, cluster_by=["cell"]) is None
+
+
+def test_empty_commits_do_not_accumulate_zero_row_files(spark, tmp_path):
+    """The schema-bearing empty file is kept only when the table would
+    otherwise have NO files: an idle stream's empty batches (unique
+    partition tags, schema already present) must not grow the manifest
+    forever."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.overwrite_partition(spark.range(0, 10).coalesce(1), partition="batch-0")
+    for i in (1, 2, 3):  # idle micro-batches
+        t.overwrite_partition(spark.range(0).coalesce(1), partition=f"batch-{i}")
+    assert len(t.files()) == 1  # just batch-0's file
+    assert t.read(spark).count() == 10
+    # appends behave the same once schema-bearing files exist
+    t.append(spark.range(0).coalesce(1))
+    assert len(t.files()) == 1
+
+
+def test_expire_sweeps_stranded_current_tmp(spark, tmp_path, monkeypatch):
+    from gelos_spark.tables import snapshot as snap_mod
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.overwrite(spark.range(0, 5).coalesce(1))
+    real_rename = snap_mod.os.rename
+
+    def dying_rename(src, dst, *a, **k):
+        if str(dst).endswith("_current"):
+            raise RuntimeError("killed at the commit point")
+        return real_rename(src, dst, *a, **k)
+
+    monkeypatch.setattr(snap_mod.os, "rename", dying_rename)
+    with pytest.raises(RuntimeError):
+        t.append(spark.range(5, 9).coalesce(1))
+    monkeypatch.setattr(snap_mod.os, "rename", real_rename)
+    assert any(n.startswith("_current.tmp.") for n in os.listdir(t.root))
+    t.expire_snapshots(keep_last=1)
+    assert not any(n.startswith("_current.tmp.") for n in os.listdir(t.root))
+    assert t.read(spark).count() == 5
