@@ -1609,6 +1609,39 @@ def _snapshot_pruned_scan(spark, sf_dir):
 
 
 @_q(
+    "snapshot_incremental",
+    # incremental scan (tables/snapshot.py read_delta, r6): commit
+    # orders in two appends split on a portable predicate; the rows a
+    # consumer reads BETWEEN the snapshots must be exactly the second
+    # append — the oracle recomputes that slice from the raw table.
+    # Past-window (slots full), verified by check_oracle +
+    # test_past_window_oracles.
+    "SELECT o_orderstatus, COUNT(*) AS n_orders, "
+    "CAST(SUM(o_orderkey) AS BIGINT) AS sum_key FROM orders "
+    "WHERE o_orderkey % 3 = 0 "
+    "GROUP BY o_orderstatus ORDER BY o_orderstatus",
+)
+def _snapshot_incremental(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from gelos_spark.tables.snapshot import SnapshotTable
+
+    (orders,) = _tables(spark, sf_dir, "orders")
+    root = f"{tempfile.gettempdir()}/gelos_incr_q_{_sf_key(sf_dir)}"
+    shutil.rmtree(root, ignore_errors=True)
+    t = SnapshotTable(root)
+    s1 = t.append(orders.where("o_orderkey % 3 != 0"))
+    t.append(orders.where("o_orderkey % 3 = 0"))
+    delta = t.read_delta(spark, from_snapshot=s1)
+    return (
+        delta.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"), F.sum("o_orderkey").alias("sum_key"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@_q(
     "location_encode",
     # G2's second encoder (lat first half, lon second — reference
     # models/prithvi_eo_v2.py:203-229), same dim-8 omega layout as

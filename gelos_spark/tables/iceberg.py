@@ -125,6 +125,31 @@ class IcebergTable:
     def _exists(self) -> bool:
         return self.spark.catalog.tableExists(self.ident)
 
+    def read_delta(
+        self,
+        spark: SparkSession | None = None,
+        from_snapshot: int | None = None,
+        to_snapshot: int | None = None,
+    ) -> DataFrame:
+        """Iceberg's incremental scan: rows appended after
+        ``from_snapshot`` (exclusive) up to ``to_snapshot``
+        (inclusive, default current) via the documented
+        start/end-snapshot-id read options."""
+        sp = spark or self.spark
+        r = sp.read.option("start-snapshot-id", str(from_snapshot))
+        if to_snapshot is not None:
+            r = r.option("end-snapshot-id", str(to_snapshot))
+        return r.table(self.ident).drop(PARTITION_COL)
+
+    def rollback(self, snapshot_id: int) -> int:
+        """Iceberg's ``rollback_to_snapshot`` procedure."""
+        name = self.ident.split(".", 1)[1]
+        self.spark.sql(
+            f"CALL {ICEBERG_CATALOG}.system.rollback_to_snapshot("
+            f"table => '{name}', snapshot_id => {int(snapshot_id)})"
+        )
+        return snapshot_id
+
     # -------------------------------------------------- maintenance
     # SnapshotTable-protocol maintenance mapped 1:1 onto Iceberg's
     # documented Spark procedures (no logic of our own, like the rest

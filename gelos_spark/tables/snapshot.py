@@ -317,7 +317,12 @@ class SnapshotTable:
 
     def _commit(self, files: list[dict]) -> int:
         parent = self.current_snapshot_id()
-        sid = (parent or 0) + 1
+        # never reuse an on-disk manifest id: after a rollback (or a
+        # crashed commit) ids above the parent may exist, and silently
+        # overwriting one would change what read(snapshot_id=...)
+        # returns for a previously observable id. Superseded manifests
+        # are left as orphans for expire_snapshots.
+        sid = max(self.snapshots() + [parent or 0]) + 1
         man = {
             "snapshot_id": sid,
             "parent": parent,
@@ -373,6 +378,57 @@ class SnapshotTable:
     ) -> int:
         """Replace the whole table in one atomic snapshot."""
         return self._commit(self._write_data_files(df, partition, cluster_by, num_files))
+
+    def read_delta(
+        self, spark: SparkSession, from_snapshot: int, to_snapshot: int | None = None
+    ) -> DataFrame:
+        """Incremental read (Iceberg's incremental scan): the rows
+        ADDED between ``from_snapshot`` (exclusive) and
+        ``to_snapshot`` (inclusive, default current) — i.e. the data
+        files present in ``to`` but not in ``from``. This is how a
+        downstream consumer tails an append-only table without
+        rescanning it.
+
+        Raises if any ``from`` file is gone from ``to`` (the interval
+        contains an overwrite/compaction — "added files" would not
+        equal "added rows"); consumers of rewritten tables must
+        re-read the snapshot instead."""
+        to_snapshot = self.current_snapshot_id() if to_snapshot is None else to_snapshot
+        old = {f["path"] for f in self.files(from_snapshot)}
+        new_entries = self.files(to_snapshot)
+        new = {f["path"] for f in new_entries}
+        removed = old - new
+        if removed:
+            raise ValueError(
+                f"read_delta: {len(removed)} file(s) of snapshot "
+                f"{from_snapshot} were removed by snapshot {to_snapshot} "
+                "(overwrite/compaction in the interval) — the delta is not "
+                "append-only; re-read the full snapshot"
+            )
+        added = [f["path"] for f in new_entries if f["path"] not in old]
+        if not added:
+            return self.read(spark, to_snapshot).limit(0)
+        return spark.read.parquet(*added)
+
+    def rollback(self, snapshot_id: int) -> int:
+        """Atomically point ``_current`` back at an earlier COMMITTED
+        snapshot (Iceberg's rollback_to_snapshot): readers switch to
+        the old state instantly; later snapshots stay on disk (and
+        readable by id) until expire_snapshots. The rolled-back-to id
+        must be on the committed chain — rolling to a crashed commit's
+        orphan manifest would resurrect a state that never was."""
+        if snapshot_id not in self._committed_chain():
+            raise ValueError(
+                f"rollback: snapshot {snapshot_id} is not on the committed "
+                f"chain {self._committed_chain()}"
+            )
+        tmp = os.path.join(self.root, f"_current.tmp.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(str(snapshot_id))
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, os.path.join(self.root, "_current"))
+        return snapshot_id
 
     # -------------------------------------------------- maintenance
 

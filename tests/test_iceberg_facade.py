@@ -159,3 +159,31 @@ def test_maintenance_issues_iceberg_procedures(spark, monkeypatch):
     # identifier hygiene extends to sort columns
     with pytest.raises(ValueError):
         t.compact(cluster_by=["cell; DROP TABLE x"])
+
+
+def test_rollback_and_incremental_issue_documented_surface(spark, monkeypatch):
+    calls: list[str] = []
+    t = ice.IcebergTable(spark, "unit_test_tbl")
+    monkeypatch.setattr(
+        type(spark), "sql", lambda self, q, *a, **k: calls.append(q)
+    )
+    assert t.rollback(41) == 41
+    assert "rollback_to_snapshot" in calls[0] and "snapshot_id => 41" in calls[0]
+
+    from pyspark.sql import functions as F
+
+    opts: dict = {}
+
+    class _Reader:
+        def option(self, k, v):
+            opts[k] = v
+            return self
+
+        def table(self, ident):
+            opts["table"] = ident
+            return spark.range(1).withColumn(ice.PARTITION_COL, F.lit(None))
+
+    monkeypatch.setattr(type(spark), "read", property(lambda self: _Reader()))
+    out = t.read_delta(from_snapshot=7, to_snapshot=9)
+    assert opts["start-snapshot-id"] == "7" and opts["end-snapshot-id"] == "9"
+    assert ice.PARTITION_COL not in out.columns

@@ -43,6 +43,7 @@ PAST_WINDOW_ORACLE_QUERIES = [
     "knn_distributed",
     "asof_join",
     "sessionize",
+    "snapshot_incremental",
 ]
 
 

@@ -78,11 +78,14 @@ def test_mid_commit_crash_reader_sees_previous_snapshot(spark, tmp_path, monkeyp
     orphan_manifest = os.path.join(str(tmp_path / "t"), "manifests", f"{s1 + 1}.json")
     assert os.path.exists(orphan_manifest)  # written, but never pointed at
 
-    # re-run commits cleanly: exactly the union, the orphaned attempt
-    # is superseded (same snapshot id reused), nothing double-counted
+    # re-run commits cleanly: exactly the union, the orphaned attempt's
+    # manifest id is SKIPPED (ids are never reused — overwriting an
+    # observable id would change time travel) and left for
+    # expire_snapshots, nothing double-counted
     t2 = SnapshotTable(str(tmp_path / "t"))
     sid = t2.append(spark.range(10, 20).coalesce(1), partition="p1")
-    assert sid == s1 + 1
+    assert sid == s1 + 2  # s1+1 is the crashed attempt's orphan
+    assert t2.current_snapshot_id() == sid
     assert t2.total_rows() == 20
     assert sorted(r.id for r in t2.read(spark).collect()) == list(range(20))
     assert all(os.path.exists(f["path"]) for f in t2.files())
@@ -530,3 +533,39 @@ def test_expire_sweeps_stranded_current_tmp(spark, tmp_path, monkeypatch):
     t.expire_snapshots(keep_last=1)
     assert not any(n.startswith("_current.tmp.") for n in os.listdir(t.root))
     assert t.read(spark).count() == 5
+
+
+def test_read_delta_incremental_consumption(spark, tmp_path):
+    """Incremental scan: rows added between two snapshots, exactly;
+    refuses intervals containing a rewrite (delta would not equal
+    added rows)."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    s1 = t.append(spark.range(0, 10).coalesce(1))
+    s2 = t.append(spark.range(10, 25).coalesce(1))
+    s3 = t.append(spark.range(25, 30).coalesce(1))
+    assert sorted(r.id for r in t.read_delta(spark, s1).collect()) == list(range(10, 30))
+    assert sorted(r.id for r in t.read_delta(spark, s1, s2).collect()) == list(range(10, 25))
+    assert t.read_delta(spark, s3).count() == 0  # caught up
+    t.compact(spark, target_file_bytes=1 << 20)
+    with pytest.raises(ValueError, match="not\\s+append-only"):
+        t.read_delta(spark, s2)
+
+
+def test_rollback_switches_current_and_preserves_history(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    s1 = t.append(spark.range(0, 10).coalesce(1))
+    s2 = t.append(spark.range(10, 20).coalesce(1))
+    assert t.rollback(s1) == s1
+    assert t.read(spark).count() == 10  # readers see the old state
+    assert t.read(spark, snapshot_id=s2).count() == 20  # s2 still readable
+    # a commit after rollback starts a NEW history without reusing s2
+    s3 = t.append(spark.range(100, 103).coalesce(1))
+    assert s3 == s2 + 1
+    assert t.read(spark).count() == 13
+    assert t.read(spark, snapshot_id=s2).count() == 20  # untouched
+    assert t._committed_chain() == [s1, s3]
+    # expire reclaims the superseded branch
+    t.expire_snapshots(keep_last=2)
+    assert t.snapshots() == [s1, s3]
+    with pytest.raises(ValueError, match="committed chain"):
+        t.rollback(s2)
