@@ -1609,6 +1609,27 @@ def _snapshot_pruned_scan(spark, sf_dir):
 
 
 @_q(
+    "top_terms",
+    # vocabulary analysis (functions/text.top_terms): global k most
+    # frequent whitespace terms with the (n DESC, term ASC) order
+    # contract; Spark's orderBy().limit(k) distributed TakeOrdered vs
+    # DuckDB's full window — identical rows. Past-window (slots full),
+    # verified by check_oracle + test_past_window_oracles.
+    "WITH tok AS (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS term "
+    "FROM documents), "
+    "c AS (SELECT term, COUNT(*) AS n FROM tok WHERE length(term) >= 1 GROUP BY term) "
+    "SELECT term, n, CAST(row_number() OVER (ORDER BY n DESC, term) AS BIGINT) AS rank "
+    "FROM c ORDER BY rank LIMIT 50",
+)
+def _top_terms(spark, sf_dir):
+    from gelos_spark.functions.text import top_terms
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    out = top_terms(docs, text_col="text", k=50)
+    return out.select("term", "n", F.col("rank").cast("long").alias("rank"))
+
+
+@_q(
     "snapshot_incremental",
     # incremental scan (tables/snapshot.py read_delta, r6): commit
     # orders in two appends split on a portable predicate; the rows a

@@ -8,7 +8,7 @@ oracle in __spark_entry__.py.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # tiny per-language stopword marker sets for the n-gram heuristic
@@ -124,3 +124,41 @@ def rolling_fingerprint_ascii_col(
         f"CAST(0 AS DECIMAL(38, 0)), "
         f"(acc, c) -> CAST((acc * {base} + ascii(c)) % {modulus} AS DECIMAL(38, 0)))"
     ).cast("long")
+
+
+def top_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 100,
+    by: list[str] | str | None = None,
+    min_len: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary analysis: the k most frequent whitespace
+    terms (lowercased), globally or per ``by`` group — the
+    vocab-building / stopword-discovery primitive of a training-data
+    pipeline. Returns (``by``..., term, n, rank) with the
+    deterministic (n DESC, term ASC) order contract.
+
+    Scale shape: explode + one hash aggregation (map-side partial
+    combine collapses each partition to its distinct terms before the
+    shuffle). The global top-k then goes through orderBy().limit(k) —
+    Spark's distributed TakeOrdered, never a single-reducer window —
+    while grouped top-k uses the per-group row_number window (one
+    shuffle on the group key)."""
+    from pyspark.sql import Window
+
+    by = [by] if isinstance(by, str) else list(by or [])
+    toks = docs.select(
+        *by, F.explode(words(F.col(text_col))).alias("term")
+    ).where(F.length("term") >= int(min_len))
+    counts = toks.groupBy(*by, "term").agg(F.count("*").alias("n"))
+    if by:
+        w = Window.partitionBy(*by).orderBy(F.desc("n"), F.asc("term"))
+        return (
+            counts.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= int(k))
+            .orderBy(*by, "rank")
+        )
+    topk = counts.orderBy(F.desc("n"), F.asc("term")).limit(int(k))
+    w = Window.orderBy(F.desc("n"), F.asc("term"))  # k rows only
+    return topk.withColumn("rank", F.row_number().over(w)).orderBy("rank")

@@ -515,6 +515,16 @@ def _op_perturb(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
     return out
 
 
+@op("top_terms", needs_input=True)
+def _op_top_terms(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
+    """Vocabulary analysis stage (functions/text.top_terms): k most
+    frequent terms, global or per ``by`` group."""
+    from gelos_spark.functions.text import top_terms
+
+    kw = {k: conf[k] for k in ("text_col", "k", "by", "min_len") if k in conf}
+    return top_terms(conf["__input__"], **kw)
+
+
 @op("asof_join", required=("right",), needs_input=True)
 def _op_asof_join(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
     """Nearest-event attribution as a pipeline stage: the input stage

@@ -44,6 +44,7 @@ PAST_WINDOW_ORACLE_QUERIES = [
     "asof_join",
     "sessionize",
     "snapshot_incremental",
+    "top_terms",
 ]
 
 

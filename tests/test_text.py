@@ -86,3 +86,38 @@ def test_rolling_fingerprint_partitioning_invariant(spark):
         .collect()
     )
     assert a == b
+
+
+def test_top_terms_brute_force_and_grouped(spark):
+    """top_terms vs a pandas Counter oracle, globally and per group;
+    the (n DESC, term ASC) contract makes ranks deterministic."""
+    from collections import Counter
+
+    from gelos_spark.functions.text import top_terms
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = top_terms(docs, k=10).collect()
+    pdf = docs.select("text").toPandas()
+    cnt = Counter(
+        w for t in pdf.text.fillna("") for w in t.lower().split() if len(w) >= 1
+    )
+    exp = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r.term, r.n) for r in got] == exp
+    assert [r.rank for r in got] == list(range(1, len(exp) + 1))
+
+    # grouped: one independent ranking per lang bucket
+    docs2 = docs.withColumn("bucket", (F.col("doc_id") % 2).cast("long"))
+    grouped = top_terms(docs2, k=3, by="bucket").collect()
+    by_bucket = {}
+    for r in grouped:
+        by_bucket.setdefault(r.bucket, []).append((r.term, r.n, r.rank))
+    pdf2 = docs2.select("bucket", "text").toPandas()
+    for b, rows in by_bucket.items():
+        c = Counter(
+            w
+            for t in pdf2[pdf2.bucket == b].text.fillna("")
+            for w in t.lower().split()
+        )
+        e = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        assert [(t, n) for t, n, _ in rows] == e
+        assert [r for _, _, r in rows] == [1, 2, 3][: len(e)]
