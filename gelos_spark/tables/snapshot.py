@@ -22,11 +22,13 @@ Iceberg semantics the north rule actually uses, from scratch:
     for primitive columns straight from the parquet footers (no data
     read); ``read(where={col: (lo, hi)})`` plans the file list from
     the manifest alone and opens only overlapping files. Pruning is a
-    pure optimization — the residual predicate is always re-applied
-    as a Spark filter, so results are byte-identical with or without
-    stats. At 10^12-image scale this is THE scan primitive: a
-    cell-range query touches the few data files whose Morton range
-    overlaps, not the table.
+    pure optimization — the residual predicate is re-applied as a
+    Spark filter by default (``residual=False`` opts into the
+    planFiles file-granularity-superset contract for callers whose
+    downstream operator applies the predicate), so results are
+    byte-identical with or without stats. At 10^12-image scale this
+    is THE scan primitive: a cell-range query touches the few data
+    files whose Morton range overlaps, not the table.
   - **clustered writes** (Z-order-style layout): ``cluster_by=`` on
     any write range-partitions + sorts rows by the given keys
     (Morton ``cell_id`` makes one int key already interleave
@@ -34,9 +36,17 @@ Iceberg semantics the north rule actually uses, from scratch:
     key range and min/max pruning actually bites.
   - **maintenance**: ``compact()`` bin-packs small data files into
     fewer large ones as a normal atomic commit (readers of older
-    snapshots unaffected); ``expire_snapshots(keep_last=N)`` drops
-    old manifests and deletes data files no retained snapshot
-    references (including orphans from crashed commits).
+    snapshots unaffected; convergent — already-packed partitions are
+    no-ops); ``expire_snapshots(keep_last=N)`` retains the newest N
+    of the COMMITTED chain and deletes everything no retained
+    snapshot references (including crashed-commit leftovers: orphan
+    manifests, data files, stranded pointer tmp files).
+  - **incremental consumption + rollback**: ``read_delta(from, to)``
+    returns exactly the rows appended between two snapshots from the
+    manifests' file-set difference (append-only intervals only —
+    rewrites raise); ``rollback(sid)`` atomically re-points
+    ``_current`` at a committed snapshot. Snapshot ids are NEVER
+    reused, so what a previously observed id reads can never change.
 
 Layout under ``root``:
   data/<commit-uuid>/*.parquet      immutable data files
