@@ -684,7 +684,7 @@ def _dedup_exact(spark, sf_dir):
 @_q(
     "doc_fingerprint",
     "SELECT doc_id, md5(array_to_string(list_slice("
-    "string_split_regex(lower(text), '\\s+'), 1, 32), ' ')) AS fp FROM documents",
+    "string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'), 1, 32), ' ')) AS fp FROM documents",
 )
 def _doc_fingerprint(spark, sf_dir):
     (docs,) = _tables(spark, sf_dir, "documents")
@@ -693,7 +693,7 @@ def _doc_fingerprint(spark, sf_dir):
 
 def _marker_hits_sql(markers: list[str]) -> str:
     return "(" + " + ".join(
-        f"len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w = '{m}'))"
+        f"len(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'), w -> w = '{m}'))"
         for m in markers
     ) + ")"
 
@@ -733,7 +733,7 @@ def _quality_sql() -> str:
     stop = _marker_hits_sql(tx.STOPWORDS_EN)
     return (
         "WITH s AS (SELECT doc_id, length(text) AS n_chars, "
-        "len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w != '')) AS n_words, "
+        "len(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'), w -> w != '')) AS n_words, "
         "len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct, "
         f"{stop} AS stop_hits FROM documents) "
         "SELECT doc_id, round(("
@@ -761,8 +761,8 @@ _NGRAM_MIN_J = 0.15
     "ngram_jaccard",
     "WITH g AS (SELECT doc_id AS id, lang AS blk, "
     "list_distinct(list_transform(range(0, greatest(len(string_split_regex(lower(text), "
-    "'\\s+')) - 3, 0) + 1), i -> array_to_string(list_slice(string_split_regex(lower(text), "
-    "'\\s+'), i + 1, i + 3), ' '))) AS grams FROM documents) "
+    "'[ \\t\\n\\x0b\\f\\r]+')) - 3, 0) + 1), i -> array_to_string(list_slice(string_split_regex(lower(text), "
+    "'[ \\t\\n\\x0b\\f\\r]+'), i + 1, i + 3), ' '))) AS grams FROM documents) "
     "SELECT id_a, id_b, jaccard FROM (SELECT l.id AS id_a, r.id AS id_b, "
     "round(CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE) / "
     "CAST(greatest(len(list_distinct(list_concat(l.grams, r.grams))), 1) AS DOUBLE), 6) "
@@ -1615,7 +1615,7 @@ def _snapshot_pruned_scan(spark, sf_dir):
     # contract; Spark's orderBy().limit(k) distributed TakeOrdered vs
     # DuckDB's full window — identical rows. Past-window (slots full),
     # verified by check_oracle + test_past_window_oracles.
-    "WITH tok AS (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS term "
+    "WITH tok AS (SELECT unnest(regexp_split_to_array(lower(text), '[ \\t\\n\\x0b\\f\\r]+')) AS term "
     "FROM documents), "
     "c AS (SELECT term, COUNT(*) AS n FROM tok WHERE length(term) >= 1 GROUP BY term) "
     "SELECT term, n, CAST(row_number() OVER (ORDER BY n DESC, term) AS BIGINT) AS rank "

@@ -26,6 +26,10 @@ TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def words(text: Column) -> Column:
+    """Lowercased whitespace tokens. The split class is Java's ``\\s``
+    == ``[ \\t\\n\\x0b\\f\\r]`` (ASCII-only — \\xa0/U+2028 do NOT
+    split); oracles must use that explicit class, not their own
+    engine's ``\\s`` (RE2 omits \\x0b, Python adds Unicode)."""
     return F.split(F.lower(text), r"\s+")
 
 

@@ -110,9 +110,13 @@ class IcebergTable:
     read_at = read
 
     def current_snapshot_id(self) -> int | None:
+        # .history with is_current_ancestor, NOT .snapshots ordered by
+        # committed_at: after rollback() the abandoned branch tip stays
+        # in .snapshots (until expiry) with the newest commit time, but
+        # it is no longer an ancestor of the current table state.
         rows = self.spark.sql(
-            f"SELECT snapshot_id FROM {self.ident}.snapshots "
-            "ORDER BY committed_at DESC LIMIT 1"
+            f"SELECT snapshot_id FROM {self.ident}.history "
+            "WHERE is_current_ancestor ORDER BY made_current_at DESC LIMIT 1"
         ).collect()
         return int(rows[0][0]) if rows else None
 
@@ -135,6 +139,10 @@ class IcebergTable:
         ``from_snapshot`` (exclusive) up to ``to_snapshot``
         (inclusive, default current) via the documented
         start/end-snapshot-id read options."""
+        if from_snapshot is None:
+            # match the SnapshotTable twin's contract (required param)
+            # instead of shipping the literal string "None" to Iceberg
+            raise ValueError("read_delta requires from_snapshot")
         sp = spark or self.spark
         r = sp.read.option("start-snapshot-id", str(from_snapshot))
         if to_snapshot is not None:

@@ -325,6 +325,19 @@ class SnapshotTable:
             os.remove(p)
         return out
 
+    def _point_current(self, sid: int) -> None:
+        """The atomic commit point, shared by _commit and rollback:
+        write the pointer to a tmp file, fsync, then os.rename onto
+        ``_current`` — POSIX guarantees readers see either the old or
+        the new pointer, never a torn write. Any durability fix here
+        (e.g. directory fsync) covers both paths."""
+        tmp = os.path.join(self.root, f"_current.tmp.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(str(sid))
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, os.path.join(self.root, "_current"))
+
     def _commit(self, files: list[dict]) -> int:
         parent = self.current_snapshot_id()
         # never reuse an on-disk manifest id: after a rollback (or a
@@ -342,12 +355,7 @@ class SnapshotTable:
         mpath = os.path.join(self.root, "manifests", f"{sid}.json")
         with open(mpath, "w") as f:
             json.dump(man, f)
-        tmp = os.path.join(self.root, f"_current.tmp.{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            f.write(str(sid))
-            f.flush()
-            os.fsync(f.fileno())
-        os.rename(tmp, os.path.join(self.root, "_current"))  # atomic commit point
+        self._point_current(sid)  # atomic commit point
         return sid
 
     def append(
@@ -432,12 +440,7 @@ class SnapshotTable:
                 f"rollback: snapshot {snapshot_id} is not on the committed "
                 f"chain {self._committed_chain()}"
             )
-        tmp = os.path.join(self.root, f"_current.tmp.{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            f.write(str(snapshot_id))
-            f.flush()
-            os.fsync(f.fileno())
-        os.rename(tmp, os.path.join(self.root, "_current"))
+        self._point_current(snapshot_id)
         return snapshot_id
 
     # -------------------------------------------------- maintenance

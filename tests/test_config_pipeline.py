@@ -236,6 +236,12 @@ def test_training_data_family_as_config_pipeline(spark, tmp_path):
                 "input": "docs",
                 "args": {"num_hashes": 32, "bands": 8, "min_jaccard": 0.2},
             },
+            {
+                "name": "vocab",
+                "op": "top_terms",
+                "input": "docs",
+                "args": {"text_col": "text", "k": 5, "min_len": 2},
+            },
             {"name": "tiles", "op": "synth_tracker", "args": {"n": 400, "seed": 3}},
             {
                 "name": "knn",
@@ -254,8 +260,17 @@ def test_training_data_family_as_config_pipeline(spark, tmp_path):
     n_docs = pipe.output("docs").count()
     assert 0 < pipe.output("uniq").count() <= n_docs
     assert pipe.output("knn").count() == 6
+    # the declarative top_terms stage forwards every documented key and
+    # equals the direct function call row for row
+    from gelos_spark.functions.text import top_terms
+
+    direct = top_terms(
+        pipe.output("docs"), text_col="text", k=5, min_len=2
+    ).collect()
+    assert pipe.output("vocab").collect() == direct
+    assert [r.rank for r in direct] == [1, 2, 3, 4, 5]
     done = pipe.log.lineage("tdf").where("status = 'done'").count()
-    assert done == 6
+    assert done == 7
 
 
 def test_pipeline_kill_resume_chaos(spark, tmp_path, monkeypatch):

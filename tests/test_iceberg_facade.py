@@ -187,3 +187,30 @@ def test_rollback_and_incremental_issue_documented_surface(spark, monkeypatch):
     out = t.read_delta(from_snapshot=7, to_snapshot=9)
     assert opts["start-snapshot-id"] == "7" and opts["end-snapshot-id"] == "9"
     assert ice.PARTITION_COL not in out.columns
+
+    # required param, matching the SnapshotTable twin — not a literal
+    # "None" start-snapshot-id that dies inside Iceberg at scan time
+    with pytest.raises(ValueError, match="from_snapshot"):
+        t.read_delta()
+
+
+def test_current_snapshot_reads_history_ancestry(spark, monkeypatch):
+    """current_snapshot_id must survive rollback: the abandoned branch
+    tip keeps the newest committed_at in .snapshots until expiry, so
+    the facade must consult .history's is_current_ancestor instead."""
+    calls: list[str] = []
+
+    def fake_sql(self, q, *a, **k):
+        calls.append(q)
+
+        class _R:
+            def collect(self):
+                return []
+
+        return _R()
+
+    t = ice.IcebergTable(spark, "unit_test_tbl")
+    monkeypatch.setattr(type(spark), "sql", fake_sql)
+    assert t.current_snapshot_id() is None
+    assert ".history" in calls[0] and "is_current_ancestor" in calls[0]
+    assert ".snapshots" not in calls[0]

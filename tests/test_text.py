@@ -22,10 +22,12 @@ BASE = 257
 
 def rolling_ref(text: str, modulus: int = MOD, base: int = 257) -> int:
     """Reference rolling hash: fold h = (h*base + crc32(word)) % p over
-    the first 32 lowercased whitespace-split words. re.split(r'\\s+')
-    matches Spark split(lower(text), '\\\\s+') token-for-token
-    (both keep leading/trailing empty tokens at limit -1)."""
-    words = re.split(r"\s+", (text or "").lower())[:32]
+    the first 32 lowercased whitespace-split words. The explicit class
+    [ \\t\\n\\x0b\\f\\r] is exactly Java's \\s (the engine tokenizer's
+    semantics) — unlike Python's Unicode-aware \\s, which would also
+    split on \\xa0/\\u2028 and silently diverge; both keep
+    leading/trailing empty tokens at limit -1."""
+    words = re.split(r"[ \t\n\x0b\f\r]+", (text or "").lower())[:32]
     h = 0
     for w in words:
         h = (h * base + zlib.crc32(w.encode("utf-8"))) % modulus
@@ -44,6 +46,8 @@ TEXTS = [
     " ".join(f"w{i}" for i in range(100)),  # > 32 words: only first 32 count
     " ".join(f"w{i}" for i in range(32)),  # exactly the first-32 prefix
     "tabs\tand\nnewlines   collapse",
+    "vertical\x0btab splits in java regex but not re2 \\s",
+    "nbsp\xa0and line-sep do NOT split (java \\s is ascii-only)",
 ]
 
 
@@ -98,8 +102,13 @@ def test_top_terms_brute_force_and_grouped(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     got = top_terms(docs, k=10).collect()
     pdf = docs.select("text").toPandas()
+    # explicit class == Java \s (the words() contract), NOT str.split()
+    # whose Unicode whitespace rules differ on \xa0 and U+2028
     cnt = Counter(
-        w for t in pdf.text.fillna("") for w in t.lower().split() if len(w) >= 1
+        w
+        for t in pdf.text.fillna("")
+        for w in re.split(r"[ \t\n\x0b\f\r]+", t.lower())
+        if len(w) >= 1
     )
     exp = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert [(r.term, r.n) for r in got] == exp
@@ -116,7 +125,8 @@ def test_top_terms_brute_force_and_grouped(spark):
         c = Counter(
             w
             for t in pdf2[pdf2.bucket == b].text.fillna("")
-            for w in t.lower().split()
+            for w in re.split(r"[ \t\n\x0b\f\r]+", t.lower())
+            if len(w) >= 1
         )
         e = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
         assert [(t, n) for t, n, _ in rows] == e
