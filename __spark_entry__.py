@@ -1897,6 +1897,39 @@ def _sessionize(spark, sf_dir):
     ).orderBy("user_id", "session_ord")
 
 
+@_q(
+    "range_join",
+    # bucketized interval join (operators/interval.py): every event
+    # inside a same-user 10-minute incident window opened by an
+    # 'error' event, half-open [start, end). The engine's
+    # explode-to-buckets equi-join + residual filter must equal
+    # DuckDB's plain inequality join row for row. Past-window (slots
+    # full), verified by check_oracle + test_past_window_oracles;
+    # brute-force pandas oracles incl. boundary/fractional/width
+    # invariance in tests/test_interval.py.
+    "WITH iv AS (SELECT event_id AS incident_id, user_id, ts AS s, "
+    "ts + INTERVAL 10 MINUTE AS e FROM events WHERE event_type = 'error') "
+    "SELECT ev.event_id, ev.event_type, iv.incident_id AS incident_id_i, "
+    "iv.s AS start_i FROM events ev JOIN iv ON ev.user_id = iv.user_id "
+    "AND ev.ts >= iv.s AND ev.ts < iv.e "
+    "ORDER BY ev.event_id, incident_id_i",
+)
+def _range_join(spark, sf_dir):
+    from gelos_spark.operators.interval import range_join
+
+    (ev,) = _tables(spark, sf_dir, "events")
+    iv = ev.where("event_type = 'error'").select(
+        F.col("event_id").alias("incident_id"),
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("end"),
+    )
+    out = range_join(ev, iv, on="ts", by="user_id")
+    return out.select(
+        "event_id", "event_type", "incident_id_i", "start_i"
+    ).orderBy("event_id", "incident_id_i")
+
+
 @_q("minhash_lsh_pairs")
 def _minhash_lsh_pairs(spark, sf_dir):
     (docs,) = _tables(spark, sf_dir, "documents")

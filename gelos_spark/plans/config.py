@@ -541,6 +541,38 @@ def _op_asof_join(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
     return asof_join(conf["__input__"], pipe.output(conf["right"]), **kw)
 
 
+@op("sql", required=("query",), needs_input=True)
+def _op_sql(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
+    """Ad-hoc SQL stage: one SELECT over the input stage, referenced
+    as ``{df}`` or the ``__input__`` temp view — the declarative
+    escape hatch for projections/derivations no dedicated op covers
+    (still a single Catalyst plan; no Python in the loop)."""
+    q = conf["query"]
+    if "{df}" in q:
+        return spark.sql(q, df=conf["__input__"])
+    conf["__input__"].createOrReplaceTempView("__input__")
+    try:
+        return spark.sql(q)
+    finally:
+        spark.catalog.dropTempView("__input__")
+
+
+@op("range_join", required=("intervals",), needs_input=True)
+def _op_range_join(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
+    """Interval-containment attribution as a pipeline stage: the input
+    stage is the event side, ``intervals`` names another COMMITTED
+    stage of [start, end) rows. See operators/interval.py for the
+    explode-to-buckets equi-join plan."""
+    from gelos_spark.operators.interval import range_join
+
+    kw = {
+        k: conf[k]
+        for k in ("on", "start", "end", "by", "interval_cols", "bucket_us", "suffix")
+        if k in conf
+    }
+    return range_join(conf["__input__"], pipe.output(conf["intervals"]), **kw)
+
+
 @op("sessionize", needs_input=True)
 def _op_sessionize(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
     """Gap-based session ordinals (functions/sessions.py) as a stage;
@@ -688,15 +720,12 @@ def validate_config(conf: dict) -> None:
                     raise ValueError(
                         f"stage {name!r} unions stage {ref!r} before it is defined"
                     )
-        if (
-            opname == "asof_join"
-            and args.get("right") is not None
-            and args["right"] not in seen
-        ):
-            # a MISSING 'right' falls through to the required-args
-            # error below instead of a misleading "joins stage None"
+        ref_arg = {"asof_join": "right", "range_join": "intervals"}.get(opname)
+        if ref_arg is not None and args.get(ref_arg) is not None and args[ref_arg] not in seen:
+            # a MISSING ref falls through to the required-args error
+            # below instead of a misleading "joins stage None"
             raise ValueError(
-                f"stage {name!r} joins stage {args['right']!r} before it is defined"
+                f"stage {name!r} joins stage {args[ref_arg]!r} before it is defined"
             )
         # an explicit `key: null` in YAML is as missing as an absent key
         missing = [k for k in _OP_REQUIRED.get(opname, ()) if args.get(k) is None]

@@ -598,6 +598,55 @@ stages:
         cfg.validate_config(bad)
 
 
+def test_range_join_config_op(spark, tmp_path):
+    """range_join as a declarative stage: intervals wired by stage
+    name; equals the direct operator call row for row."""
+    import yaml as _yaml
+
+    from gelos_spark.operators.interval import range_join as rj
+
+    conf = _yaml.safe_load(
+        """
+run_id: rj1
+stages:
+  - name: events
+    op: read_parquet
+    args: {path: /root/testdata/sf0.001/events.parquet}
+  - name: incidents
+    op: sql
+    input: events
+    args:
+      query: >
+        SELECT event_id AS incident_id, user_id, ts AS `start`,
+               ts + INTERVAL 10 MINUTES AS `end`
+        FROM __input__ WHERE event_type = 'error'
+  - name: windowed
+    op: range_join
+    input: events
+    args: {intervals: incidents, on: ts, by: user_id}
+"""
+    )
+    pipe = cfg.build_pipeline(spark, conf, root=str(tmp_path / "run"))
+    out = pipe.output("windowed")
+    ev = pipe.output("events")
+    direct = rj(ev, pipe.output("incidents"), on="ts", by="user_id")
+    key = lambda r: (r["event_id"], r["incident_id_i"])  # noqa: E731
+    assert sorted(map(key, out.collect())) == sorted(map(key, direct.collect()))
+    assert out.count() > 0
+
+    bad = {
+        "run_id": "rj2",
+        "stages": [
+            {"name": "e", "op": "read_parquet",
+             "args": {"path": "/root/testdata/sf0.001/events.parquet"}},
+            {"name": "w", "op": "range_join", "input": "e",
+             "args": {"intervals": "not_yet", "on": "ts"}},
+        ],
+    }
+    with pytest.raises(ValueError, match="before it is defined"):
+        cfg.validate_config(bad)
+
+
 def test_explicit_null_required_arg_fails_validation(spark):
     """YAML `right: null` must fail as a missing required arg, not
     slip past validation into a mid-run crash on pipe.output(None)."""

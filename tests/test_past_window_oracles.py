@@ -42,6 +42,7 @@ PAST_WINDOW_ORACLE_QUERIES = [
     "snapshot_pruned_scan",
     "knn_distributed",
     "asof_join",
+    "range_join",
     "sessionize",
     "snapshot_incremental",
     "top_terms",
