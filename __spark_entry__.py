@@ -1930,6 +1930,35 @@ def _range_join(spark, sf_dir):
     ).orderBy("event_id", "incident_id_i")
 
 
+@_q(
+    "tf_idf",
+    # per-document TF-IDF (functions/text.tf_idf): explode -> tf agg
+    # -> df agg -> term join, smoothed idf ln((N+1)/(df+1)) + 1. The
+    # weight rounds to 6 decimals (ln differs in the last ulp across
+    # libms, like the sincos encoders); tf/df are exact integers.
+    # Past-window (slots full), verified by check_oracle +
+    # test_past_window_oracles.
+    "WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), "
+    "'[ \\t\\n\\x0b\\f\\r]+')) AS term FROM documents), "
+    "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok "
+    "WHERE length(term) >= 2 GROUP BY doc_id, term), "
+    "dfreq AS (SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY term), "
+    "n AS (SELECT COUNT(*) AS n FROM documents) "
+    "SELECT tf.doc_id, tf.term, tf.tf, dfreq.df_docs, "
+    "round(tf.tf * (ln((n.n + 1.0) / (dfreq.df_docs + 1.0)) + 1.0), 6) AS tfidf "
+    "FROM tf, dfreq, n WHERE tf.term = dfreq.term "
+    "ORDER BY tf.doc_id, tf.term",
+)
+def _tf_idf(spark, sf_dir):
+    from gelos_spark.functions.text import tf_idf
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    out = tf_idf(docs, text_col="text", id_col="doc_id", min_len=2)
+    return out.select(
+        "doc_id", "term", "tf", "df_docs", F.round("tfidf", 6).alias("tfidf")
+    ).orderBy("doc_id", "term")
+
+
 @_q("minhash_lsh_pairs")
 def _minhash_lsh_pairs(spark, sf_dir):
     (docs,) = _tables(spark, sf_dir, "documents")

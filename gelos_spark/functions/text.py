@@ -166,3 +166,63 @@ def top_terms(
     topk = counts.orderBy(F.desc("n"), F.asc("term")).limit(int(k))
     w = Window.orderBy(F.desc("n"), F.asc("term"))  # k rows only
     return topk.withColumn("rank", F.row_number().over(w)).orderBy("rank")
+
+
+def tf_idf(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 1,
+    k: int | None = None,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Per-document TF-IDF term weights — the relevance/keyword
+    primitive of a training-data pipeline (quality filtering by
+    distinctive terms, near-dup feature vectors, BM25-ish retrieval
+    seeds). Returns (id, term, tf, df_docs, tfidf[, rank]):
+    ``tf`` = term count in the document, ``df_docs`` = documents
+    containing the term, smoothed sklearn-style
+    ``tfidf = tf * (ln((N+1)/(df+1)) + 1)`` (never negative or zero,
+    so rare-term rows survive).
+
+    Scale shape: explode + (id, term) hash aggregation (map-side
+    partial combine), a second aggregation of those rows to term
+    document-frequencies, then one term-keyed equi-join — stopword
+    terms are the hot keys; AQE's skew split handles them, and the
+    df side is vocabulary-sized (<< corpus) so Catalyst broadcasts it
+    when it fits. ``n_docs`` (corpus size) is one scalar pre-pass
+    ``count()`` unless the caller passes it (resume/composition path:
+    thread the known corpus size in to keep the plan fully lazy).
+
+    ``k``: keep only each document's k highest-tfidf terms
+    (tfidf DESC, term ASC — one id-keyed row_number window).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        id_col, F.explode(words(F.col(text_col))).alias("term")
+    ).where(F.length("term") >= int(min_len))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_docs"))
+    if n_docs is None:
+        n_docs = docs.count()
+    out = tf.join(dfreq, "term").select(
+        id_col,
+        "term",
+        "tf",
+        "df_docs",
+        (
+            F.col("tf")
+            * (
+                F.log(F.lit(float(n_docs) + 1.0) / (F.col("df_docs") + F.lit(1.0)))
+                + F.lit(1.0)
+            )
+        ).alias("tfidf"),
+    )
+    if k is not None:
+        w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+        out = (
+            out.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= int(k))
+        )
+    return out

@@ -525,6 +525,20 @@ def _op_top_terms(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
     return top_terms(conf["__input__"], **kw)
 
 
+@op("tf_idf", needs_input=True)
+def _op_tf_idf(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
+    """Per-document TF-IDF stage (functions/text.tf_idf): term
+    weights, optionally trimmed to each document's top ``k``."""
+    from gelos_spark.functions.text import tf_idf
+
+    kw = {
+        k: conf[k]
+        for k in ("text_col", "id_col", "min_len", "k", "n_docs")
+        if k in conf
+    }
+    return tf_idf(conf["__input__"], **kw)
+
+
 @op("asof_join", required=("right",), needs_input=True)
 def _op_asof_join(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
     """Nearest-event attribution as a pipeline stage: the input stage

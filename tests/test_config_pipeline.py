@@ -242,6 +242,12 @@ def test_training_data_family_as_config_pipeline(spark, tmp_path):
                 "input": "docs",
                 "args": {"text_col": "text", "k": 5, "min_len": 2},
             },
+            {
+                "name": "keywords",
+                "op": "tf_idf",
+                "input": "docs",
+                "args": {"min_len": 2, "k": 3},
+            },
             {"name": "tiles", "op": "synth_tracker", "args": {"n": 400, "seed": 3}},
             {
                 "name": "knn",
@@ -269,8 +275,11 @@ def test_training_data_family_as_config_pipeline(spark, tmp_path):
     ).collect()
     assert pipe.output("vocab").collect() == direct
     assert [r.rank for r in direct] == [1, 2, 3, 4, 5]
+    kw = pipe.output("keywords")
+    assert set(kw.columns) == {"doc_id", "term", "tf", "df_docs", "tfidf", "rank"}
+    assert kw.where("rank > 3").count() == 0 and kw.count() > 0
     done = pipe.log.lineage("tdf").where("status = 'done'").count()
-    assert done == 7
+    assert done == 8
 
 
 def test_pipeline_kill_resume_chaos(spark, tmp_path, monkeypatch):

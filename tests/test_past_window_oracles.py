@@ -46,6 +46,7 @@ PAST_WINDOW_ORACLE_QUERIES = [
     "sessionize",
     "snapshot_incremental",
     "top_terms",
+    "tf_idf",
 ]
 
 

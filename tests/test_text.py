@@ -11,6 +11,8 @@ from __future__ import annotations
 import re
 import zlib
 
+import pytest
+
 import pandas as pd
 from pyspark.sql import functions as F
 
@@ -131,3 +133,59 @@ def test_top_terms_brute_force_and_grouped(spark):
         e = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
         assert [(t, n) for t, n, _ in rows] == e
         assert [r for _, _, r in rows] == [1, 2, 3][: len(e)]
+
+
+def test_tf_idf_brute_force_and_topk(spark):
+    """tf_idf vs a pure-Python reference (same explicit Java-\\s
+    tokenizer), plus the per-doc top-k rank contract and the lazy
+    n_docs passthrough."""
+    import math
+    from collections import Counter
+
+    from gelos_spark.functions.text import tf_idf
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        (r.doc_id, r.term): (r.tf, r.df_docs, r.tfidf)
+        for r in tf_idf(docs, min_len=2).collect()
+    }
+
+    pdf = docs.select("doc_id", "text").toPandas()
+    tf = {
+        row.doc_id: Counter(
+            w
+            for w in re.split(r"[ \t\n\x0b\f\r]+", (row.text or "").lower())
+            if len(w) >= 2
+        )
+        for row in pdf.itertuples()
+    }
+    dfreq = Counter(t for c in tf.values() for t in c)
+    n = len(pdf)
+    assert len(got) == sum(len(c) for c in tf.values())
+    for (d, t), (tfv, dfv, w) in got.items():
+        assert tfv == tf[d][t] and dfv == dfreq[t]
+        assert w == pytest.approx(
+            tfv * (math.log((n + 1.0) / (dfv + 1.0)) + 1.0), abs=1e-9
+        )
+
+    # top-k: rank 1..k per doc, ordered by (tfidf DESC, term ASC)
+    topk = tf_idf(docs, min_len=2, k=3).collect()
+    per_doc = {}
+    for r in sorted(topk, key=lambda r: (r.doc_id, r.rank)):
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for d, rows in per_doc.items():
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        full = sorted(
+            ((got[(d, t)][2], t) for t in tf[d]),
+            key=lambda x: (-x[0], x[1]),
+        )[: len(rows)]
+        assert [(pytest.approx(w, abs=1e-9), t) for w, t in full] == [
+            (r.tfidf, r.term) for r in rows
+        ]
+
+    # caller-supplied corpus size keeps the plan lazy and must agree
+    lazy = {
+        (r.doc_id, r.term): r.tfidf
+        for r in tf_idf(docs, min_len=2, n_docs=n).collect()
+    }
+    assert lazy == {k: v[2] for k, v in got.items()}
