@@ -1959,6 +1959,62 @@ def _tf_idf(spark, sf_dir):
     ).orderBy("doc_id", "term")
 
 
+@_q(
+    "minhash_portable",
+    # the FULL MinHash+LSH pipeline under a DuckDB oracle
+    # (operators/dedup.minhash_lsh_pairs portable=True): 5-code-point
+    # shingles -> seeded polynomial hash mod 2^31-1 -> min over 16
+    # arithmetic-sequence permutations -> 4-band LSH self-join ->
+    # matching-position estimate >= 0.5 -> pair dedup. Every value
+    # stays < 2^31 so BIGINT/uint64 agree exactly — the
+    # hash_split_assign portability trick applied to the flagship
+    # near-dup operator; the production FNV/xxhash64 kernel keeps its
+    # rows-only query + kernel-bit-equality pytests. Past-window
+    # (slots full), verified by check_oracle + test_past_window_oracles.
+    "WITH coef AS (SELECT CAST(i AS BIGINT) AS i, "
+    "((2*CAST(i AS BIGINT)+1) * 2654435761) % 2147483647 AS a, "
+    "(CAST(i AS BIGINT)*40503 + 2654435769) % 2147483647 AS b "
+    "FROM (SELECT unnest(range(16)) AS i)), "
+    "docs AS (SELECT doc_id, coalesce(text, '') AS t FROM documents), "
+    "sh AS (SELECT doc_id, unnest(CASE WHEN length(t) > 5 THEN "
+    "list_transform(range(length(t) - 4), s -> list_reduce("
+    "list_prepend(CAST(42 AS BIGINT), list_transform(range(5), j -> "
+    "CAST(unicode(substring(t, CAST(s AS INT) + CAST(j AS INT) + 1, 1)) AS BIGINT))), "
+    "(acc, x) -> (acc * 1000003 + x) % 2147483647)) "
+    "ELSE [list_reduce(list_prepend(CAST(42 AS BIGINT), "
+    "list_transform(range(length(t)), j -> "
+    "CAST(unicode(substring(t, CAST(j AS INT) + 1, 1)) AS BIGINT))), "
+    "(acc, x) -> (acc * 1000003 + x) % 2147483647)] END) AS h FROM docs), "
+    "sig AS (SELECT doc_id, i, MIN((a * h + b) % 2147483647) AS v "
+    "FROM sh CROSS JOIN coef GROUP BY doc_id, i), "
+    "bands AS (SELECT doc_id, i // 4 AS band, "
+    "string_agg(CAST(v AS VARCHAR), '_' ORDER BY i) AS bh "
+    "FROM sig GROUP BY doc_id, i // 4), "
+    "cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b "
+    "FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh "
+    "AND l.doc_id < r.doc_id), "
+    "est AS (SELECT c.id_a, c.id_b, "
+    "SUM(CASE WHEN x.v = y.v THEN 1 ELSE 0 END) / 16.0 AS e "
+    "FROM cand c JOIN sig x ON x.doc_id = c.id_a "
+    "JOIN sig y ON y.doc_id = c.id_b AND y.i = x.i GROUP BY c.id_a, c.id_b) "
+    "SELECT id_a, id_b, round(e, 6) AS est_jaccard FROM est "
+    "WHERE e >= 0.5 ORDER BY id_a, id_b",
+)
+def _minhash_portable(spark, sf_dir):
+    from gelos_spark.operators.dedup import minhash_lsh_pairs
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs,
+        num_hashes=16,
+        bands=4,
+        shingle_k=5,
+        seed=42,
+        min_jaccard=0.5,
+        portable=True,
+    )
+
+
 @_q("minhash_lsh_pairs")
 def _minhash_lsh_pairs(spark, sf_dir):
     (docs,) = _tables(spark, sf_dir, "documents")

@@ -193,6 +193,74 @@ def minhash_udf(num_hashes: int = 128, k: int = 5, seed: int = 42):
     return _sig
 
 
+# ---- portable MinHash twin: every operation exact in BOTH NumPy and
+# ANSI-SQL BIGINT arithmetic, so the WHOLE LSH pipeline (shingling,
+# permutation mins, banding, estimate, threshold, dedup) carries a
+# DuckDB oracle. Same pluggable-hash trick as sampling.hash_split's
+# contract query: swap the engine-only hash (FNV/xxhash64) for a
+# portable arithmetic mix and the oracle verifies the surrounding
+# algorithm end to end. All values stay < 2^31 (prime modulus
+# M = 2^31 - 1), so products fit BIGINT/uint64 exactly.
+
+_PORTABLE_M = 2147483647  # 2^31 - 1 (prime -> (a*h + b) % M permutes)
+_PORTABLE_B = 1000003
+
+
+def _portable_coeffs(num_hashes: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic arithmetic coefficient sequence (NOT an RNG — the
+    SQL oracle must reproduce it with plain column math)."""
+    i = np.arange(num_hashes, dtype=np.uint64)
+    a = ((2 * i + 1) * np.uint64(2654435761)) % np.uint64(_PORTABLE_M)
+    b = (i * np.uint64(40503) + np.uint64(2654435769)) % np.uint64(_PORTABLE_M)
+    return a, b
+
+
+def minhash_batch_portable(
+    texts: list[str], num_hashes: int, k: int = 5, seed: int = 42
+) -> np.ndarray:
+    """[D, num_hashes] portable MinHash signatures: k-CODE-POINT
+    shingles (whole-doc shingle when shorter, char_shingles
+    semantics) hashed by the seeded polynomial
+    ``h = (h*B + cp) % M``, then ``min((a_i*h + b_i) % M)`` per
+    permutation. Verification path only — the production kernel
+    (minhash_batch: FNV shingles, multiply-shift over uint64 wrap)
+    is ~an order of magnitude faster and stays the default."""
+    a, b = _portable_coeffs(num_hashes)
+    M, B = np.uint64(_PORTABLE_M), np.uint64(_PORTABLE_B)
+    out = np.empty((len(texts), num_hashes), dtype=np.int64)
+    for d, t in enumerate(texts):
+        cp = np.frombuffer((t or "").encode("utf-32-le"), dtype=np.uint32).astype(
+            np.uint64
+        )
+        n = len(cp)
+        if n > k:
+            idx = np.arange(n - k + 1)
+            h = np.full(n - k + 1, seed % _PORTABLE_M, dtype=np.uint64)
+            for p in range(k):
+                h = (h * B + cp[idx + p]) % M
+        else:
+            hv = seed % _PORTABLE_M
+            for c in cp.tolist():
+                hv = (hv * _PORTABLE_B + c) % _PORTABLE_M
+            h = np.array([hv], dtype=np.uint64)
+        out[d] = ((a[:, None] * h[None, :] + b[:, None]) % M).min(axis=1).astype(
+            np.int64
+        )
+    return out
+
+
+def minhash_udf_portable(num_hashes: int = 16, k: int = 5, seed: int = 42):
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sig(text: pd.Series) -> pd.Series:
+        texts = text.fillna("").tolist()
+        if not texts:
+            return pd.Series([], dtype=object)
+        sigs = minhash_batch_portable(texts, num_hashes, k, seed)
+        return pd.Series(list(sigs))
+
+    return _sig
+
+
 def simhash64(text: str, seed: int = 42) -> int:
     """64-bit SimHash over word tokens (weighted bit-vote)."""
     toks = [w.encode("utf-8", "ignore") for w in (text or "").lower().split()]
@@ -286,12 +354,20 @@ def minhash_lsh_pairs(
     seed: int = 42,
     min_jaccard: float = 0.5,
     checkpoint: bool | str = True,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b, est_jaccard =
     fraction of matching signature positions, filtered to
     >= min_jaccard, deduped across bands, ordered.
+
+    ``portable=True`` swaps the signature kernel for the
+    SQL-reproducible modular-arithmetic twin
+    (``minhash_batch_portable``) and the xxhash64 band key for the
+    band's value string — the DuckDB-oracle verification path
+    (contract query ``minhash_portable``); identical pipeline shape,
+    slower kernel.
 
     ``checkpoint`` (plans/materialize.finalize): True eagerly
     localCheckpoints and releases the signature cache; "reliable"
@@ -305,21 +381,23 @@ def minhash_lsh_pairs(
     # cluster even when the (small on disk, heavy to process) text
     # table arrives as a single scan split
     src = _spread(docs)
+    make_udf = minhash_udf_portable if portable else minhash_udf
     sigs = src.select(
-        F.col(id_col).alias("id"), minhash_udf(num_hashes, shingle_k, seed)(F.col(text_col)).alias("sig")
+        F.col(id_col).alias("id"), make_udf(num_hashes, shingle_k, seed)(F.col(text_col)).alias("sig")
     ).persist()
 
-    # band hash = xxhash64 of the band's slice -> equi-join key
+    # band hash -> equi-join key: xxhash64 of the band's slice
+    # (production) or the slice's value string (portable/oracle path —
+    # collision-free, reproducible in SQL via string_agg)
     band_exprs = []
     for b in range(bands):
-        band_exprs.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band).cast("string")).alias(
-                    "bh"
-                ),
-            )
+        sl = F.slice("sig", b * rows_per_band + 1, rows_per_band)
+        bh = (
+            F.concat_ws("_", sl.cast("array<string>"))
+            if portable
+            else F.xxhash64(sl.cast("string"))
         )
+        band_exprs.append(F.struct(F.lit(b).alias("band"), bh.alias("bh")))
     banded = sigs.select("id", "sig", F.explode(F.array(*band_exprs)).alias("bk")).select(
         "id", "sig", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
     )

@@ -234,3 +234,80 @@ def test_pair_operators_cache_their_signature_frames(spark):
     eager_e = dedup.embedding_dup_pairs(emb, allow_cross_join=True)
     assert sorted(map(tuple, lazy_e.collect())) == sorted(map(tuple, eager_e.collect()))
     spark.catalog.clearCache()
+
+
+def test_minhash_portable_kernel_matches_scalar_reference():
+    """minhash_batch_portable vs a from-first-principles pure-Python
+    reference (code-point shingles, seeded polynomial mod 2^31-1,
+    arithmetic-sequence permutations) — the same arithmetic the
+    DuckDB oracle of `minhash_portable` runs in SQL."""
+    M, B, seed, k, H = 2147483647, 1000003, 42, 5, 16
+
+    def ref_sig(text):
+        cps = [ord(c) for c in text]
+        if len(cps) > k:
+            windows = [cps[i : i + k] for i in range(len(cps) - k + 1)]
+        else:
+            windows = [cps]
+        hs = []
+        for w in windows:
+            h = seed % M
+            for c in w:
+                h = (h * B + c) % M
+            hs.append(h)
+        sig = []
+        for i in range(H):
+            a = ((2 * i + 1) * 2654435761) % M
+            b = (i * 40503 + 2654435769) % M
+            sig.append(min((a * h + b) % M for h in hs))
+        return sig
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "short",
+        "",
+        "ab",
+        "unicode façade — ünïcödé £5 ¥3",
+        "x" * 200,
+        "the quick brown fox jumps over the lazy cat",
+    ]
+    got = dedup.minhash_batch_portable(texts, H, k, seed)
+    for d, t in enumerate(texts):
+        assert got[d].tolist() == ref_sig(t), f"doc {d}: {t!r}"
+
+
+def test_minhash_portable_pipeline_matches_bruteforce(spark):
+    """portable=True through the full Spark pipeline == brute-force
+    banded LSH on the portable signatures (same guarantee the fast
+    path has in test_minhash_lsh_pairs_matches_bruteforce_lsh), and
+    near-identical docs are found with estimate 1.0."""
+    base = "the quick brown fox jumps over the lazy dog %d tail"
+    rows = [(i, base % (i % 7)) for i in range(40)]
+    rows.append((100, rows[0][1]))  # exact dup of doc 0
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    H, bands, k, seed, thr = 16, 4, 5, 42, 0.5
+
+    out = dedup.minhash_lsh_pairs(
+        docs, num_hashes=H, bands=bands, shingle_k=k, seed=seed,
+        min_jaccard=thr, portable=True,
+    ).collect()
+    got = sorted((r.id_a, r.id_b, r.est_jaccard) for r in out)
+
+    sigs = dedup.minhash_batch_portable([t for _, t in rows], H, k, seed)
+    ids = [i for i, _ in rows]
+    r = H // bands
+    exp = set()
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = sorted((ids[x], ids[y]))
+            sx, sy = sigs[x], sigs[y]
+            banded = any(
+                (sx[i * r : (i + 1) * r] == sy[i * r : (i + 1) * r]).all()
+                for i in range(bands)
+            )
+            est = round(float((sx == sy).sum()) / H, 6)
+            if banded and est >= thr:
+                exp.add((a, b, est))
+    assert got == sorted(exp)
+    assert (0, 100, 1.0) in exp
+    spark.catalog.clearCache()

@@ -47,6 +47,7 @@ PAST_WINDOW_ORACLE_QUERIES = [
     "snapshot_incremental",
     "top_terms",
     "tf_idf",
+    "minhash_portable",
 ]
 
 
