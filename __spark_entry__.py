@@ -2015,6 +2015,54 @@ def _minhash_portable(spark, sf_dir):
     )
 
 
+@_q(
+    "simhash_portable",
+    # the SimHash bit-vote computation under a DuckDB oracle
+    # (operators/dedup.simhash_pairs portable=True): tokens by the
+    # Java-\s class, TWO seeded code-point polynomials mod 2^31-1 per
+    # token (31+31 = 62 bits so the pigeonhole banding keeps its
+    # spread), majority vote per bit position, then banded Hamming
+    # pairs <= 3. The oracle recomputes the hash + vote in SQL and
+    # brute-forces the O(n^2) Hamming check — verifying the VOTE
+    # (which hamming_pairs' derived-fingerprint oracle cannot).
+    # Past-window (slots full), verified by check_oracle +
+    # test_past_window_oracles.
+    "WITH docs AS (SELECT doc_id, coalesce(text, '') AS t FROM documents), "
+    "tok AS (SELECT doc_id, unnest(string_split_regex(lower(t), "
+    "'[ \\t\\n\\x0b\\f\\r]+')) AS w FROM docs), "
+    "th AS (SELECT doc_id, "
+    "list_reduce(list_prepend(CAST(42 AS BIGINT), "
+    "list_transform(range(length(w)), i -> "
+    "CAST(unicode(substring(w, CAST(i AS INT)+1, 1)) AS BIGINT))), "
+    "(acc, x) -> (acc * 1000003 + x) % 2147483647) AS h1, "
+    "list_reduce(list_prepend(CAST(43 AS BIGINT), "
+    "list_transform(range(length(w)), i -> "
+    "CAST(unicode(substring(w, CAST(i AS INT)+1, 1)) AS BIGINT))), "
+    "(acc, x) -> (acc * 1000033 + x) % 2147483647) AS h2 "
+    "FROM tok WHERE length(w) > 0), "
+    "votes AS (SELECT doc_id, j, SUM(CASE WHEN (CASE WHEN j < 31 "
+    "THEN (h1 >> CAST(j AS INT)) ELSE (h2 >> CAST(j - 31 AS INT)) END) % 2 = 1 "
+    "THEN 1 ELSE -1 END) AS v FROM th CROSS JOIN "
+    "(SELECT CAST(unnest(range(62)) AS BIGINT) AS j) GROUP BY doc_id, j), "
+    "sh AS (SELECT d.doc_id, coalesce(SUM(CASE WHEN v.v > 0 THEN "
+    "(CAST(1 AS BIGINT) << CAST(v.j AS INT)) ELSE 0 END), 0) AS s "
+    "FROM (SELECT DISTINCT doc_id FROM docs) d "
+    "LEFT JOIN votes v ON d.doc_id = v.doc_id GROUP BY d.doc_id) "
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming "
+    "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+    "AND bit_count(xor(a.s, b.s)) <= 3 ORDER BY id_a, id_b",
+)
+def _simhash_portable(spark, sf_dir):
+    from gelos_spark.operators.dedup import simhash_pairs
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    out = simhash_pairs(docs, max_hamming=3, seed=42, portable=True)
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 @_q("minhash_lsh_pairs")
 def _minhash_lsh_pairs(spark, sf_dir):
     (docs,) = _tables(spark, sf_dir, "documents")

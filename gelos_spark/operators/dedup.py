@@ -305,6 +305,48 @@ def simhash_batch(texts: list[str], seed: int = 42) -> np.ndarray:
     return out
 
 
+def simhash_batch_portable(texts: list[str], seed: int = 42) -> np.ndarray:
+    """[D] int64 62-bit portable SimHash: tokens by the explicit
+    Java-``\\s`` class (words() contract — NOT str.split, whose
+    Unicode whitespace diverges from SQL), each token hashed by TWO
+    seeded code-point polynomials mod 2^31-1 (31 bits each,
+    concatenated to 62 so the pigeonhole banding keeps its spread),
+    majority bit-vote per position. Every intermediate < 2^62 —
+    exact in BIGINT, so DuckDB recomputes identical values (contract
+    query ``simhash_portable``). Verification path only; the
+    production FNV kernel (simhash_batch) stays the default."""
+    import re
+
+    M, B1, B2 = _PORTABLE_M, _PORTABLE_B, 1000033
+    out = np.zeros(len(texts), dtype=np.int64)
+    j = np.arange(31, dtype=np.int64)
+    w62 = 1 << np.arange(62, dtype=np.int64)
+    for d, t in enumerate(texts):
+        toks = [w for w in re.split(r"[ \t\n\x0b\f\r]+", (t or "").lower()) if w]
+        if not toks:
+            continue
+        votes = np.zeros(62, dtype=np.int64)
+        for w in toks:
+            h1, h2 = seed % M, (seed + 1) % M
+            for c in w:
+                cp = ord(c)
+                h1 = (h1 * B1 + cp) % M
+                h2 = (h2 * B2 + cp) % M
+            bits = np.concatenate([(h1 >> j) & 1, (h2 >> j) & 1])
+            votes += 2 * bits - 1
+        out[d] = int(((votes > 0) * w62).sum())
+    return out
+
+
+def simhash_udf_portable(seed: int = 42):
+    @F.pandas_udf(T.LongType())
+    def _sh(text: pd.Series) -> pd.Series:
+        texts = text.fillna("").tolist()
+        return pd.Series(simhash_batch_portable(texts, seed))
+
+    return _sh
+
+
 def simhash_udf(seed: int = 42):
     @F.pandas_udf(T.LongType())
     def _sh(text: pd.Series) -> pd.Series:
@@ -486,9 +528,14 @@ def simhash_pairs(
     max_hamming: int = 3,
     seed: int = 42,
     checkpoint: bool | str = True,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash(text)) <= max_hamming: the
     vectorized simhash kernel feeds the generic banded join.
+    ``portable=True`` swaps in the SQL-reproducible 62-bit kernel
+    (``simhash_batch_portable``) — the DuckDB-oracle verification
+    path (contract query ``simhash_portable``); the 64-bit pigeonhole
+    banding stays valid (top bits constant-equal).
 
     The (id, simhash) signature frame is persisted across the banded
     self-join's two aliases — without it Catalyst plans two scans and
@@ -500,8 +547,9 @@ def simhash_pairs(
     False returns the lazy plan (the cache then stays persisted —
     caller-owned lifetime)."""
     src = _spread(docs)
+    sh_udf = simhash_udf_portable(seed) if portable else simhash_udf(seed)
     sh = src.select(
-        F.col(id_col).alias("id"), simhash_udf(seed)(F.col(text_col)).alias("sh")
+        F.col(id_col).alias("id"), sh_udf(F.col(text_col)).alias("sh")
     ).persist()
     out = hamming_hash_pairs(sh, "id", "sh", max_hamming)
     from gelos_spark.plans.materialize import finalize

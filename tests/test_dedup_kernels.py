@@ -311,3 +311,47 @@ def test_minhash_portable_pipeline_matches_bruteforce(spark):
     assert got == sorted(exp)
     assert (0, 100, 1.0) in exp
     spark.catalog.clearCache()
+
+
+def test_simhash_portable_kernel_and_pipeline(spark):
+    """simhash_batch_portable vs a from-first-principles reference
+    (two code-point polynomials mod 2^31-1, 62-bit majority vote) and
+    portable=True through the banded pipeline == O(n^2) brute force —
+    the pigeonhole guarantee must hold for the 62-bit value."""
+    M, B1, B2, seed = 2147483647, 1000003, 1000033, 42
+
+    def ref(text):
+        import re as _re
+
+        toks = [w for w in _re.split(r"[ \t\n\x0b\f\r]+", (text or "").lower()) if w]
+        votes = [0] * 62
+        for w in toks:
+            h1, h2 = seed % M, (seed + 1) % M
+            for c in w:
+                h1 = (h1 * B1 + ord(c)) % M
+                h2 = (h2 * B2 + ord(c)) % M
+            for j in range(31):
+                votes[j] += 1 if (h1 >> j) & 1 else -1
+                votes[31 + j] += 1 if (h2 >> j) & 1 else -1
+        return sum(1 << j for j in range(62) if votes[j] > 0)
+
+    texts = [
+        "the quick brown fox", "the quick brown fox", "the quick brown cat",
+        "", "   ", "unicode façade £5", "w " * 40,
+    ]
+    got = dedup.simhash_batch_portable(texts, seed)
+    for d, t in enumerate(texts):
+        assert int(got[d]) == ref(t), f"doc {d}: {t!r}"
+    assert got[0] == got[1] and got[3] == got[4] == 0
+
+    rows = [(i, "token%d alpha beta gamma delta" % (i % 5)) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.simhash_pairs(docs, max_hamming=3, portable=True).collect()
+    gotp = sorted((r.id_a, r.id_b, r.hamming) for r in out)
+    sh = {i: ref(t) for i, t in rows}
+    exp = sorted(
+        (a, b, bin(sh[a] ^ sh[b]).count("1"))
+        for a in sh for b in sh if a < b and bin(sh[a] ^ sh[b]).count("1") <= 3
+    )
+    assert gotp == exp and len(exp) > 0
+    spark.catalog.clearCache()

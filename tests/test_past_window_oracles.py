@@ -48,6 +48,7 @@ PAST_WINDOW_ORACLE_QUERIES = [
     "top_terms",
     "tf_idf",
     "minhash_portable",
+    "simhash_portable",
 ]
 
 
