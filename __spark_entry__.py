@@ -2016,6 +2016,71 @@ def _minhash_portable(spark, sf_dir):
 
 
 @_q(
+    "stream_interval_join",
+    # watermarked stream-stream inner join (streaming/ingest.py):
+    # purchases joined to same-user errors within the 3 hours
+    # before them. availableNow over the static events table (single
+    # file -> one micro-batch) processes everything exactly once, so
+    # the streaming output equals DuckDB's batch inequality join —
+    # the oracle. Past-window (slots full), verified by check_oracle
+    # + test_past_window_oracles.
+    "SELECT l.event_id AS purchase_id, l.user_id, l.ts, "
+    "r.event_id AS error_id_r, r.ts AS ts_r "
+    "FROM events l JOIN events r ON l.event_type = 'purchase' "
+    "AND r.event_type = 'error' AND l.user_id = r.user_id "
+    "AND r.ts >= l.ts - INTERVAL 180 MINUTE AND r.ts <= l.ts "
+    "ORDER BY purchase_id, error_id_r",
+)
+def _stream_interval_join(spark, sf_dir):
+    import os
+    import tempfile
+
+    from gelos_spark.streaming import ingest
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    schema = batch.schema
+    d = os.path.join(tempfile.gettempdir(), f"gelos_stream_events_{_sf_key(sf_dir)}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    stream = spark.readStream.schema(schema).parquet(d)
+    # events.ts is TIMESTAMP_NTZ; watermarks need TIMESTAMP (session
+    # tz is UTC, so the cast is value-identity)
+    ev = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    purchases = ev.where("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    errors = ev.where("event_type = 'error'").select(
+        F.col("event_id").alias("error_id"), "user_id", "ts"
+    )
+    joined = ingest.stream_interval_join(
+        purchases, errors, on="ts", by="user_id",
+        lookback="180 minutes", watermark="240 minutes",
+    )
+    name = "stream_interval_join_sink"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
+            "error_id_r",
+            F.col("ts_r").cast("timestamp_ntz").alias("ts_r"),
+        )
+        .orderBy("purchase_id", "error_id_r")
+    )
+
+
+@_q(
     "simhash_portable",
     # the SimHash bit-vote computation under a DuckDB oracle
     # (operators/dedup.simhash_pairs portable=True): tokens by the

@@ -75,6 +75,45 @@ def stream_dedup(stream: DataFrame, watermark: str = "2 minutes") -> DataFrame:
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["image_id"])
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str = "user_id",
+    lookback: str = "10 minutes",
+    watermark: str = "30 minutes",
+    right_cols: list[str] | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Watermarked stream-stream inner join — Spark's flagship
+    stateful streaming shape: every left event joined to same-``by``
+    right events inside ``(left.on - lookback, left.on]`` (inclusive
+    both ends, the batch range_join's lookback mirror). Both sides
+    carry the watermark and the join condition carries the time
+    bound, so each side's buffered state is evicted once the other
+    side's watermark passes ``on - lookback`` — bounded state however
+    long the streams run. Under ``trigger(availableNow)`` over a
+    static source the output equals the batch inequality join (the
+    DuckDB oracle of contract query ``stream_interval_join``).
+
+    ``right_cols``: right columns to attach (default: all but
+    ``on``/``by``), emitted as ``<col><suffix>``; the matched right
+    ``on`` is always attached as ``<on><suffix>``."""
+    vals = right_cols or [c for c in right.columns if c not in (on, by)]
+    lw = left.withWatermark(on, watermark).alias("l")
+    rw = right.withWatermark(on, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{by}") == F.col(f"r.{by}"))
+        & (F.col(f"r.{on}") >= F.col(f"l.{on}") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col(f"r.{on}") <= F.col(f"l.{on}"))
+    )
+    return lw.join(rw, cond).select(
+        *[F.col(f"l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"r.{c}").alias(f"{c}{suffix}") for c in vals],
+        F.col(f"r.{on}").alias(f"{on}{suffix}"),
+    )
+
+
 def sink_to_snapshot(
     df: DataFrame,
     table_root: str,

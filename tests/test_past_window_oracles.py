@@ -49,6 +49,7 @@ PAST_WINDOW_ORACLE_QUERIES = [
     "tf_idf",
     "minhash_portable",
     "simhash_portable",
+    "stream_interval_join",
 ]
 
 

@@ -148,3 +148,61 @@ def test_running_cell_stats_state_across_batches(spark, tmp_path):
     want = collections.Counter([int(c) for c in cell5] + [int(c) for c in dup5])
     got = {c: r.n_tiles for c, r in latest.items()}
     assert got == dict(want)
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join under availableNow ==
+    the batch inequality join over the same rows (the contract query
+    `stream_interval_join` pins the same equality vs DuckDB)."""
+    src = str(tmp_path / "ssj")
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    rows = []
+    rng = np.random.default_rng(11)
+    for i in range(300):
+        rows.append(
+            {
+                "event_id": i,
+                "user_id": int(rng.integers(0, 12)),
+                "kind": "left" if i % 3 == 0 else "right",
+                "ts": base + pd.Timedelta(seconds=int(rng.integers(0, 3600))),
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    lhs = stream.where("kind = 'left'").select(
+        F.col("event_id").alias("lid"), "user_id", "ts"
+    )
+    rhs = stream.where("kind = 'right'").select(
+        F.col("event_id").alias("rid"), "user_id", "ts"
+    )
+    joined = ingest.stream_interval_join(
+        lhs, rhs, on="ts", by="user_id", lookback="5 minutes", watermark="20 minutes"
+    )
+    name = "ssj_sink"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.lid, r.rid_r) for r in spark.table(name).select("lid", "rid_r").collect()
+    )
+
+    lp = pdf[pdf.kind == "left"]
+    rp = pdf[pdf.kind == "right"]
+    exp = sorted(
+        (int(l.event_id), int(r.event_id))
+        for l in lp.itertuples()
+        for r in rp.itertuples()
+        if l.user_id == r.user_id
+        and r.ts >= l.ts - pd.Timedelta(minutes=5)
+        and r.ts <= l.ts
+    )
+    assert got == exp and len(exp) > 0
