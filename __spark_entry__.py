@@ -2016,6 +2016,35 @@ def _minhash_portable(spark, sf_dir):
 
 
 @_q(
+    "quantile_filter",
+    # per-group quantile gate (functions/sampling.quantile_filter):
+    # keep the 30% longest documents per language — the
+    # quality-threshold pass of a training pipeline, deterministic
+    # (ceil(frac*n) kept, ties by doc_id) so the kept SET is exact,
+    # not float-fragile like a percentile-threshold filter. Same
+    # window algebra in DuckDB. Past-window (slots full), verified by
+    # check_oracle + test_past_window_oracles.
+    "WITH r AS (SELECT doc_id, lang, n_chars, "
+    "row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn, "
+    "COUNT(*) OVER (PARTITION BY lang) AS n FROM documents) "
+    "SELECT doc_id, lang, n_chars FROM r "
+    "WHERE rn <= CAST(ceil(n * 0.3) AS BIGINT) ORDER BY doc_id",
+)
+def _quantile_filter(spark, sf_dir):
+    from gelos_spark.functions.sampling import quantile_filter
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    out = quantile_filter(
+        docs.select("doc_id", "lang", "n_chars"),
+        score_col="n_chars",
+        keep_frac=0.3,
+        by="lang",
+        id_col="doc_id",
+    )
+    return out.orderBy("doc_id")
+
+
+@_q(
     "stream_interval_join",
     # watermarked stream-stream inner join (streaming/ingest.py):
     # purchases joined to same-user errors within the 3 hours

@@ -102,3 +102,49 @@ def deterministic_sample(
         F.lit(False),
     )
     return df.where(keep)
+
+
+def quantile_filter(
+    df: DataFrame,
+    score_col: str,
+    keep_frac: float,
+    by: list[str] | str,
+    id_col: str,
+    ascending: bool = False,
+) -> DataFrame:
+    """Per-group quantile gate: keep each group's top ``keep_frac``
+    fraction of rows by ``score_col`` (``ascending=True`` keeps the
+    bottom — e.g. lowest-perplexity). The standard quality-threshold
+    pass of a training-data pipeline ("keep the best 30% of documents
+    per language"), made deterministic: ties break on ``id_col``, and
+    the kept count is ``ceil(keep_frac * n_group)`` — so a group is
+    never emptied by a nonzero fraction and results are invariant to
+    partitioning and engine version (unlike percentile-threshold
+    filtering, where ties AT the cut make the kept set float-fragile).
+
+    Scale shape: ONE shuffle — ``row_number`` and the group-size
+    ``count`` share the same window partition spec, so Catalyst plans
+    a single Exchange + Sort; the filter then runs in codegen. ``by``
+    is REQUIRED non-empty (a global quantile funnels the corpus
+    through one window partition — same contract as asof_join; for a
+    global gate, pre-bucket by a hash of the id and gate per bucket).
+    """
+    from pyspark.sql import Window
+
+    by = [by] if isinstance(by, str) else list(by)
+    if not by:
+        raise ValueError(
+            "quantile_filter: 'by' must name at least one group column "
+            "(a global quantile is a single-partition window at scale)"
+        )
+    if not (0.0 < keep_frac <= 1.0):
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    score = F.col(score_col).asc() if ascending else F.col(score_col).desc()
+    w = Window.partitionBy(*by).orderBy(score, F.col(id_col).asc())
+    wn = Window.partitionBy(*by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count("*").over(wn))
+        .where(F.col("__rn") <= F.ceil(F.col("__n") * F.lit(float(keep_frac))))
+        .drop("__rn", "__n")
+    )

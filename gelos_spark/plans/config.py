@@ -525,6 +525,20 @@ def _op_top_terms(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
     return top_terms(conf["__input__"], **kw)
 
 
+@op("quantile_filter", required=("score_col", "keep_frac", "by", "id_col"), needs_input=True)
+def _op_quantile_filter(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
+    """Per-group quality gate (functions/sampling.quantile_filter):
+    keep each group's top keep_frac fraction by score."""
+    from gelos_spark.functions.sampling import quantile_filter
+
+    kw = {
+        k: conf[k]
+        for k in ("score_col", "keep_frac", "by", "id_col", "ascending")
+        if k in conf
+    }
+    return quantile_filter(conf["__input__"], **kw)
+
+
 @op("tf_idf", needs_input=True)
 def _op_tf_idf(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
     """Per-document TF-IDF stage (functions/text.tf_idf): term

@@ -248,6 +248,17 @@ def test_training_data_family_as_config_pipeline(spark, tmp_path):
                 "input": "docs",
                 "args": {"min_len": 2, "k": 3},
             },
+            {
+                "name": "gated",
+                "op": "quantile_filter",
+                "input": "feats",
+                "args": {
+                    "score_col": "quality",
+                    "keep_frac": 0.5,
+                    "by": "lang",
+                    "id_col": "doc_id",
+                },
+            },
             {"name": "tiles", "op": "synth_tracker", "args": {"n": 400, "seed": 3}},
             {
                 "name": "knn",
@@ -278,8 +289,18 @@ def test_training_data_family_as_config_pipeline(spark, tmp_path):
     kw = pipe.output("keywords")
     assert set(kw.columns) == {"doc_id", "term", "tf", "df_docs", "tfidf", "rank"}
     assert kw.where("rank > 3").count() == 0 and kw.count() > 0
+    from gelos_spark.functions.sampling import quantile_filter
+
+    gated = pipe.output("gated")
+    direct_gate = quantile_filter(
+        pipe.output("feats"), "quality", 0.5, "lang", "doc_id"
+    )
+    assert sorted(r.doc_id for r in gated.collect()) == sorted(
+        r.doc_id for r in direct_gate.collect()
+    )
+    assert 0 < gated.count() < pipe.output("feats").count()
     done = pipe.log.lineage("tdf").where("status = 'done'").count()
-    assert done == 8
+    assert done == 9
 
 
 def test_pipeline_kill_resume_chaos(spark, tmp_path, monkeypatch):

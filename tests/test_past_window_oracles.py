@@ -50,6 +50,7 @@ PAST_WINDOW_ORACLE_QUERIES = [
     "minhash_portable",
     "simhash_portable",
     "stream_interval_join",
+    "quantile_filter",
 ]
 
 

@@ -87,3 +87,62 @@ def test_stratified_sample_per_stratum_fractions(spark):
         sampling.deterministic_sample(df, "doc_id", 0.5, strata_col="lang")
     with pytest.raises(ValueError, match="no strata_col"):
         sampling.deterministic_sample(df, "doc_id", {"en": 0.5})
+
+
+def test_quantile_filter_brute_force_and_contracts(spark):
+    """quantile_filter vs a pandas reference (ceil(frac*n) kept, ties
+    by id), partitioning invariance, ascending mode, and the
+    one-Exchange plan property."""
+    import math
+
+    import pandas as pd
+    import pytest
+
+    from gelos_spark.functions.sampling import quantile_filter
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = quantile_filter(docs, "n_chars", 0.3, "lang", "doc_id")
+    got = sorted(r.doc_id for r in out.collect())
+
+    pdf = docs.toPandas()
+    exp = []
+    for lang, g in pdf.groupby("lang"):
+        keep = math.ceil(len(g) * 0.3)
+        g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        exp.extend(g.doc_id.iloc[:keep].tolist())
+    assert got == sorted(exp) and got
+
+    # invariant under repartitioning
+    got7 = sorted(
+        r.doc_id
+        for r in quantile_filter(
+            docs.repartition(7), "n_chars", 0.3, "lang", "doc_id"
+        ).collect()
+    )
+    assert got7 == got
+
+    # ascending keeps the SHORTEST docs; disjoint from the top set
+    # unless a group is small enough that both fractions overlap
+    asc = sorted(
+        r.doc_id
+        for r in quantile_filter(
+            docs, "n_chars", 0.3, "lang", "doc_id", ascending=True
+        ).collect()
+    )
+    assert len(asc) == len(got) and asc != got
+
+    # one shuffle: both windows share the partition spec
+    plan = (
+        quantile_filter(docs, "n_chars", 0.3, "lang", "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+
+    with pytest.raises(ValueError, match="by"):
+        quantile_filter(docs, "n_chars", 0.3, [], "doc_id")
+    with pytest.raises(ValueError, match="keep_frac"):
+        quantile_filter(docs, "n_chars", 0.0, "lang", "doc_id")
