@@ -720,7 +720,7 @@ def _langid(spark, sf_dir):
 @_q(
     "token_count",
     "SELECT doc_id, len(regexp_extract_all(text, "
-    "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens FROM documents",
+    "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]')) AS n_tokens FROM documents",
 )
 def _token_count(spark, sf_dir):
     (docs,) = _tables(spark, sf_dir, "documents")
@@ -734,7 +734,7 @@ def _quality_sql() -> str:
     return (
         "WITH s AS (SELECT doc_id, length(text) AS n_chars, "
         "len(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'), w -> w != '')) AS n_words, "
-        "len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct, "
+        "len(regexp_extract_all(text, '[^\\w \\t\\n\\x0b\\f\\r]')) AS n_punct, "
         f"{stop} AS stop_hits FROM documents) "
         "SELECT doc_id, round(("
         "(CASE WHEN n_chars >= 50 AND n_chars <= 20000 THEN 1.0 ELSE 0.25 END) + "
@@ -2020,15 +2020,15 @@ def _minhash_portable(spark, sf_dir):
     # per-group quantile gate (functions/sampling.quantile_filter):
     # keep the 30% longest documents per language — the
     # quality-threshold pass of a training pipeline, deterministic
-    # (ceil(frac*n) kept, ties by doc_id) so the kept SET is exact,
-    # not float-fragile like a percentile-threshold filter. Same
-    # window algebra in DuckDB. Past-window (slots full), verified by
-    # check_oracle + test_past_window_oracles.
+    # (ceil(n * ppm / 1e6) kept in pure BIGINT arithmetic, ties by
+    # doc_id) so the kept SET is exact, never float-fragile. Same
+    # window algebra + integer ceil in DuckDB. Past-window (slots
+    # full), verified by check_oracle + test_past_window_oracles.
     "WITH r AS (SELECT doc_id, lang, n_chars, "
     "row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn, "
     "COUNT(*) OVER (PARTITION BY lang) AS n FROM documents) "
     "SELECT doc_id, lang, n_chars FROM r "
-    "WHERE rn <= CAST(ceil(n * 0.3) AS BIGINT) ORDER BY doc_id",
+    "WHERE rn <= (n * 300000 + 999999) // 1000000 ORDER BY doc_id",
 )
 def _quantile_filter(spark, sf_dir):
     from gelos_spark.functions.sampling import quantile_filter

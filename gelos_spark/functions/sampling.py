@@ -117,10 +117,15 @@ def quantile_filter(
     bottom — e.g. lowest-perplexity). The standard quality-threshold
     pass of a training-data pipeline ("keep the best 30% of documents
     per language"), made deterministic: ties break on ``id_col``, and
-    the kept count is ``ceil(keep_frac * n_group)`` — so a group is
-    never emptied by a nonzero fraction and results are invariant to
-    partitioning and engine version (unlike percentile-threshold
-    filtering, where ties AT the cut make the kept set float-fragile).
+    the kept count is ``ceil(n_group * round(keep_frac * 1e6) / 1e6)``
+    — the fraction snaps to ppm resolution (hash_split's BUCKETS
+    convention) and the ceil evaluates in pure BIGINT arithmetic, so
+    the kept set is exact (double ceil would keep 8 of 100 at
+    keep_frac=0.07, since 100*0.07 is 7.000000000000001 in doubles),
+    a group is never emptied by a nonzero fraction, and results are
+    invariant to partitioning and engine version (unlike
+    percentile-threshold filtering, where ties AT the cut make the
+    kept set float-fragile).
 
     Scale shape: ONE shuffle — ``row_number`` and the group-size
     ``count`` share the same window partition spec, so Catalyst plans
@@ -142,9 +147,13 @@ def quantile_filter(
     score = F.col(score_col).asc() if ascending else F.col(score_col).desc()
     w = Window.partitionBy(*by).orderBy(score, F.col(id_col).asc())
     wn = Window.partitionBy(*by)
+    ppm = int(round(float(keep_frac) * 1_000_000))
+    # ceil(n * ppm / 1e6) in pure BIGINT (SQL `div`, never `/` whose
+    # double quotient can round across an integer boundary)
+    kept = F.expr(f"(__n * CAST({ppm} AS BIGINT) + 999999) div 1000000")
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .withColumn("__n", F.count("*").over(wn))
-        .where(F.col("__rn") <= F.ceil(F.col("__n") * F.lit(float(keep_frac))))
+        .where(F.col("__rn") <= kept)
         .drop("__rn", "__n")
     )

@@ -76,11 +76,12 @@ def range_join(
         start/end/by), emitted as ``<col><suffix>``; the bounds are
         always attached as ``<start><suffix>``/``<end><suffix>``.
     bucket_us: bucket width in microseconds (numeric ``on``: same
-        units as the column). Default = max interval length over
-        ``intervals`` — one scalar pre-pass job — so each interval
-        explodes to at most 3 bucket rows. Tune DOWN only when one
-        outlier interval would otherwise set a width so large that
-        dense buckets dominate the join.
+        units as the column; may be fractional for fractional
+        domains). Default = max interval length over ``intervals`` —
+        one scalar pre-pass job — so each interval explodes to at
+        most 3 bucket rows. Tune DOWN only when one outlier interval
+        would otherwise set a width so large that dense buckets
+        dominate the join.
     """
     by = [by] if isinstance(by, str) else list(by or [])
     vals = interval_cols or [
@@ -94,14 +95,15 @@ def range_join(
     iv = intervals.where(e_us > s_us)
 
     if bucket_us is None:
-        import math
-
         row = iv.agg(F.max(e_us - s_us).alias("w")).collect()[0]
-        bucket_us = math.ceil(row["w"]) if row["w"] is not None else 1
-    if bucket_us <= 0:
+        bucket_us = float(row["w"]) if row["w"] is not None else 1.0
+    # validate AFTER conversion — fractional widths are legal for
+    # fractional numeric domains and must not truncate to 0
+    bucket_us = float(bucket_us)
+    if not bucket_us > 0:
         raise ValueError(f"range_join: bucket_us must be positive, got {bucket_us}")
 
-    b = F.lit(int(bucket_us))
+    b = F.lit(bucket_us)
     iv2 = iv.select(
         *[F.col(c).alias(f"__by_{c}") for c in by],
         *[F.col(c).alias(f"{c}{suffix}") for c in vals],

@@ -575,14 +575,17 @@ def _op_sql(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
     as ``{df}`` or the ``__input__`` temp view — the declarative
     escape hatch for projections/derivations no dedicated op covers
     (still a single Catalyst plan; no Python in the loop)."""
+    import re as _re
+
     q = conf["query"]
-    if "{df}" in q:
-        return spark.sql(q, df=conf["__input__"])
-    conf["__input__"].createOrReplaceTempView("__input__")
-    try:
-        return spark.sql(q)
-    finally:
-        spark.catalog.dropTempView("__input__")
+    if "{df}" not in q:
+        # rewrite the __input__ identifier to the parameter marker so
+        # the DataFrame binds through spark.sql's formatter (which
+        # registers a uniquely-named view internally) — NEVER a
+        # session temp view literally named __input__, which would
+        # clobber and then drop a caller's view of the same name
+        q = _re.sub(r"\b__input__\b", "{df}", q)
+    return spark.sql(q, df=conf["__input__"])
 
 
 @op("range_join", required=("intervals",), needs_input=True)

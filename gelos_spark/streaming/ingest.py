@@ -87,7 +87,7 @@ def stream_interval_join(
 ) -> DataFrame:
     """Watermarked stream-stream inner join — Spark's flagship
     stateful streaming shape: every left event joined to same-``by``
-    right events inside ``(left.on - lookback, left.on]`` (inclusive
+    right events inside ``[left.on - lookback, left.on]`` (inclusive
     both ends, the batch range_join's lookback mirror). Both sides
     carry the watermark and the join condition carries the time
     bound, so each side's buffered state is evicted once the other

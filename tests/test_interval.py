@@ -120,6 +120,10 @@ def test_fractional_numeric_domain(spark):
     )
     out = range_join(ev, iv, on="t").collect()
     assert sorted((r.eid, r.iid_i) for r in out) == [(0, 1)]
+    # an explicit fractional width must not truncate to zero (the
+    # int() regression): same result at bucket_us=0.5
+    frac = range_join(ev, iv, on="t", bucket_us=0.5).collect()
+    assert sorted((r.eid, r.iid_i) for r in frac) == [(0, 1)]
 
 
 def test_bad_bucket_raises(spark, sides):

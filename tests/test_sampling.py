@@ -90,14 +90,10 @@ def test_stratified_sample_per_stratum_fractions(spark):
 
 
 def test_quantile_filter_brute_force_and_contracts(spark):
-    """quantile_filter vs a pandas reference (ceil(frac*n) kept, ties
-    by id), partitioning invariance, ascending mode, and the
+    """quantile_filter vs a pandas reference (integer-exact
+    ceil(n*ppm/1e6) kept, ties by id), the 0.07x100 double-rounding
+    regression, partitioning invariance, ascending mode, and the
     one-Exchange plan property."""
-    import math
-
-    import pandas as pd
-    import pytest
-
     from gelos_spark.functions.sampling import quantile_filter
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
@@ -109,10 +105,20 @@ def test_quantile_filter_brute_force_and_contracts(spark):
     pdf = docs.toPandas()
     exp = []
     for lang, g in pdf.groupby("lang"):
-        keep = math.ceil(len(g) * 0.3)
+        # the ppm contract: ceil(n * 300000 / 1e6) in integers — NOT
+        # math.ceil(n * 0.3), whose double product rounds up at e.g.
+        # n=100 (30.000000000000004 -> 31)
+        keep = (len(g) * 300_000 + 999_999) // 1_000_000
         g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True])
         exp.extend(g.doc_id.iloc[:keep].tolist())
     assert got == sorted(exp) and got
+
+    # the double-rounding regression: keep_frac=0.07 over a 100-row
+    # group keeps exactly 7 (double ceil would keep 8)
+    g100 = spark.range(100).select(
+        F.lit("g").alias("grp"), F.col("id").alias("rid"), (F.col("id") % 10).alias("s")
+    )
+    assert quantile_filter(g100, "s", 0.07, "grp", "rid").count() == 7
 
     # invariant under repartitioning
     got7 = sorted(
