@@ -233,6 +233,26 @@ def main():
 
     run("q_dedup_cc", dedup_cc_pipeline, in_headline=False)
 
+    # bucketized interval join (operators/interval.py, new r6 cont.):
+    # every event attributed to same-user 10-minute incident windows
+    # opened by error events — intervals explode to <= 3 bucket rows,
+    # events map to one bucket, equi-join + codegen residual. Extra
+    # key, outside the headline sum like the other post-r1 keys.
+    from gelos_spark.operators.interval import range_join
+
+    ev_rj = read("events")
+
+    def range_join_pipeline():
+        iv = ev_rj.where("event_type = 'error'").select(
+            F.col("event_id").alias("incident_id"),
+            "user_id",
+            F.col("ts").alias("start"),
+            (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("end"),
+        )
+        materialize(range_join(ev_rj, iv, on="ts", by="user_id"))
+
+    run("q_range_join", range_join_pipeline, in_headline=False)
+
     # ---- skew demo (north rule: "skew from dense urban cells is
     # handled with explicit salting + AQE skew-join hints"). A
     # synthetic dense-cell distribution: ~90% of the lineitem-derived
