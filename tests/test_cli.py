@@ -115,7 +115,18 @@ def test_shipped_training_data_config_runs_end_to_end(spark, tmp_path):
     from gelos_spark.plans.checkpoint import Pipeline
 
     pipe = Pipeline(spark, root, "training_data_v1")
-    assert pipe.log.lineage("training_data_v1").where("status = 'done'").count() == 14
+    assert pipe.log.lineage("training_data_v1").where("status = 'done'").count() == 17
+
+    # quality family (r6 cont.): ranked vocabulary, per-doc top-3
+    # keywords, and a per-lang gate that keeps ceil(n/2) per group
+    vocab = pipe.output("vocab").collect()
+    assert [r.rank for r in vocab] == list(range(1, len(vocab) + 1))
+    assert all(len(r.term) >= 2 for r in vocab)
+    kw = pipe.output("keywords")
+    assert kw.where("rank > 3").count() == 0 and kw.count() > 0
+    n_feats = pipe.output("feats").count()
+    gated = pipe.output("gated").count()
+    assert 0 < gated < n_feats
 
     # docs branch: the survivors stage keeps one doc per duplicate
     # CLUSTER — pinned against a union-find over the committed pairs
@@ -163,4 +174,4 @@ def test_shipped_training_data_config_runs_end_to_end(spark, tmp_path):
     # second invocation resume-skips: no duplicate lineage
     assert cli.main(["run", "jobs/training_data.yaml", "--root", root,
                      "--keep-session"]) == 0
-    assert pipe.log.lineage("training_data_v1").where("status = 'done'").count() == 14
+    assert pipe.log.lineage("training_data_v1").where("status = 'done'").count() == 17
