@@ -154,3 +154,69 @@ def test_shell_batches_disjoint_below_wrap(res, cx, cy, r1, dr):
     assert set1 | set2 == set(s_all.tolist())
     # and within one shell no cell appears twice (no wrap aliasing)
     assert len(s2) == len(set2)
+
+
+# ---- portable dedup kernels (round 6 cont.): the SQL-reproducible
+# MinHash/SimHash twins vs from-first-principles references, over
+# arbitrary unicode (incl. the \x0b/\xa0 whitespace edge cases that
+# motivated the explicit Java-\s tokenizer class)
+
+_PM, _PB1, _PB2 = 2147483647, 1000003, 1000033
+text_st = st.text(
+    alphabet=st.characters(min_codepoint=1, max_codepoint=0x2FFF),
+    max_size=40,
+)
+
+
+def _ref_minhash(text, num_hashes=8, k=5, seed=42):
+    cps = [ord(c) for c in text]
+    windows = (
+        [cps[i : i + k] for i in range(len(cps) - k + 1)] if len(cps) > k else [cps]
+    )
+    hs = []
+    for w in windows:
+        h = seed % _PM
+        for c in w:
+            h = (h * _PB1 + c) % _PM
+        hs.append(h)
+    sig = []
+    for i in range(num_hashes):
+        a = ((2 * i + 1) * 2654435761) % _PM
+        b = (i * 40503 + 2654435769) % _PM
+        sig.append(min((a * h + b) % _PM for h in hs))
+    return sig
+
+
+@given(texts=st.lists(text_st, min_size=1, max_size=6))
+@settings(max_examples=100, deadline=None)
+def test_minhash_portable_property(texts):
+    from gelos_spark.operators import dedup
+
+    got = dedup.minhash_batch_portable(texts, 8, 5, 42)
+    for d, t in enumerate(texts):
+        assert got[d].tolist() == _ref_minhash(t)
+
+
+@given(texts=st.lists(text_st, min_size=1, max_size=6))
+@settings(max_examples=100, deadline=None)
+def test_simhash_portable_property(texts):
+    import re as _re
+
+    from gelos_spark.operators import dedup
+
+    def ref(text):
+        toks = [w for w in _re.split(r"[ \t\n\x0b\f\r]+", (text or "").lower()) if w]
+        votes = [0] * 62
+        for w in toks:
+            h1, h2 = 42 % _PM, 43 % _PM
+            for c in w:
+                h1 = (h1 * _PB1 + ord(c)) % _PM
+                h2 = (h2 * _PB2 + ord(c)) % _PM
+            for j in range(31):
+                votes[j] += 1 if (h1 >> j) & 1 else -1
+                votes[31 + j] += 1 if (h2 >> j) & 1 else -1
+        return sum(1 << j for j in range(62) if votes[j] > 0)
+
+    got = dedup.simhash_batch_portable(texts, 42)
+    for d, t in enumerate(texts):
+        assert int(got[d]) == ref(t)
