@@ -2016,6 +2016,54 @@ def _minhash_portable(spark, sf_dir):
 
 
 @_q(
+    "lsh_portable",
+    # ANN bucketing under a DuckDB oracle (similarity.lsh_topk
+    # portable=True): vectors quantize to integers
+    # (floor(x*1000+0.5)), hyperplanes come from an arithmetic
+    # integer sequence, so bucket codes are exact BIGINT dots in both
+    # engines; candidates = (table, code) collisions; the exact
+    # cosine re-rank already matches DuckDB's sequential fold (the
+    # embedding_topk equivalence). The Gaussian-plane path keeps its
+    # rows-only query + recall pytests. Past-window (slots full),
+    # verified by check_oracle + test_past_window_oracles.
+    "WITH pl AS (SELECT CAST(tt.t AS BIGINT) AS t, CAST(bb.b AS BIGINT) AS b, "
+    "CAST(dd.d AS BIGINT) AS d, "
+    "((((CAST(tt.t AS BIGINT)*131071 + CAST(bb.b AS BIGINT)*8191 + "
+    "CAST(dd.d AS BIGINT)) * 2654435761) % 2147483647) % 7) - 3 AS h "
+    "FROM (SELECT unnest(range(4)) AS t) tt, (SELECT unnest(range(8)) AS b) bb, "
+    "(SELECT unnest(range(64)) AS d) dd), "
+    "vq AS (SELECT vec_id, embedding, list_transform(embedding, x -> "
+    "CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS iq FROM embeddings), "
+    "dots AS (SELECT v.vec_id, p.t, p.b, SUM(p.h * v.iq[CAST(p.d AS INT) + 1]) AS dot "
+    "FROM vq v CROSS JOIN pl p GROUP BY 1, 2, 3), "
+    "codes AS (SELECT vec_id, t, SUM(CASE WHEN dot > 0 THEN "
+    "(CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS code FROM dots GROUP BY 1, 2), "
+    "cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id "
+    "FROM codes c JOIN codes q ON c.t = q.t AND c.code = q.code WHERE q.vec_id < 5), "
+    "d AS (SELECT cand.query_id, cand.vec_id, "
+    "list_sum(list_transform(list_zip(cv.embedding, qv.embedding), p -> "
+    "CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / ("
+    "sqrt(list_sum(list_transform(cv.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+    "sqrt(list_sum(list_transform(qv.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine "
+    "FROM cand JOIN vq cv ON cv.vec_id = cand.vec_id "
+    "JOIN vq qv ON qv.vec_id = cand.query_id), "
+    "r AS (SELECT query_id, vec_id, cosine, CAST(row_number() OVER ("
+    "PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank FROM d) "
+    "SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine FROM r "
+    "WHERE rank <= 10 ORDER BY query_id, rank",
+)
+def _lsh_portable(spark, sf_dir):
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.lsh_topk(
+        spark, emb, q, k=10, nbits=8, ntables=4, portable=True
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@_q(
     "quantile_filter",
     # per-group quantile gate (functions/sampling.quantile_filter):
     # keep the 30% longest documents per language — the

@@ -144,6 +144,23 @@ def _hyperplanes(dim: int, nbits: int, ntables: int, seed: int) -> np.ndarray:
     return rng.standard_normal((ntables, nbits, dim))
 
 
+def _portable_planes(dim: int, nbits: int, ntables: int) -> np.ndarray:
+    """Deterministic INTEGER hyperplanes in [-3, 3] from an arithmetic
+    mix (not an RNG — the SQL oracle must rebuild them with plain
+    column math). With vectors quantized to integers
+    (floor(x*1000 + 0.5)), every dot product is exact BIGINT/int64
+    arithmetic, so bucket codes agree bit-for-bit across engines —
+    the dedup-family portability trick applied to ANN bucketing."""
+    t = np.arange(ntables, dtype=np.uint64)[:, None, None]
+    b = np.arange(nbits, dtype=np.uint64)[None, :, None]
+    d = np.arange(dim, dtype=np.uint64)[None, None, :]
+    h = (
+        (t * np.uint64(131071) + b * np.uint64(8191) + d)
+        * np.uint64(2654435761)
+    ) % np.uint64(2147483647) % np.uint64(7)
+    return h.astype(np.int64) - 3
+
+
 def _list_matrix(v, num_rows: int, dim: int) -> np.ndarray:
     """Arrow ListArray -> ``[num_rows, dim]`` float64 matrix via ONE
     ``flatten()`` + reshape (zero per-row Python). Per-row lengths are
@@ -269,7 +286,12 @@ def _block_cosine_batches(vec_arr, C, cn, qid_arr, Q, qn, out_schema, max_cells=
 
 
 def _bucket_codes_frame(
-    df: DataFrame, id_col: str, vec_col: str, planes: np.ndarray, out_id: str
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: np.ndarray,
+    out_id: str,
+    quantize: bool = False,
 ) -> DataFrame:
     """(id, vec) -> (out_id, __v, __codes array<long>) with per-table
     bucket codes (position = table index), computed in ``mapInArrow``:
@@ -297,6 +319,12 @@ def _bucket_codes_frame(
                 continue
             v = b.column("__v")
             m = _list_matrix(v, b.num_rows, dim)
+            if quantize:
+                # integer quantization (floor(x*1000 + 0.5), exact in
+                # doubles) + int64 planes -> int64 einsum: bucket
+                # codes are exact BIGINT arithmetic, reproducible in
+                # SQL (the lsh_portable oracle)
+                m = np.floor(m * 1000.0 + 0.5).astype(np.int64)
             sgn = np.einsum("tbd,nd->ntb", planes, m) > 0  # [N, T, nbits]
             codes = (sgn * weights[None, None, :]).sum(axis=2)  # [N, T] int64
             offsets = pa.array(
@@ -325,19 +353,36 @@ def lsh_topk(
     vec_col: str = "embedding",
     qid_col: str = "query_id",
     qvec_col: str = "embedding",
+    portable: bool = False,
 ) -> DataFrame:
     """ANN top-k via random-hyperplane LSH buckets + exact cosine
-    re-rank of candidates. Output schema matches brute_force_topk."""
+    re-rank of candidates. Output schema matches brute_force_topk.
+
+    ``portable=True`` swaps the Gaussian hyperplanes for deterministic
+    INTEGER planes over quantized vectors (``_portable_planes``), so
+    bucket codes — and therefore the candidate sets and the final
+    ranking — are reproducible in pure SQL; the exact re-rank already
+    matches DuckDB's fold (the embedding_topk equivalence). The
+    DuckDB-oracle verification path (contract query ``lsh_portable``);
+    the Gaussian path stays the recall-tested default."""
     if dim is None:
         first = corpus.select(F.size(vec_col).alias("d")).first()
         dim = int(first["d"])
-    planes = _hyperplanes(dim, nbits, ntables, seed)
+    planes = (
+        _portable_planes(dim, nbits, ntables)
+        if portable
+        else _hyperplanes(dim, nbits, ntables, seed)
+    )
 
-    c = _bucket_codes_frame(corpus, id_col, vec_col, planes, "vec_id").select(
+    c = _bucket_codes_frame(
+        corpus, id_col, vec_col, planes, "vec_id", quantize=portable
+    ).select(
         "vec_id", F.col("__v").alias("cv"), _norm_expr("__v").alias("cn"),
         F.posexplode("__codes").alias("tbl", "bucket"),
     )
-    q = _bucket_codes_frame(queries, qid_col, qvec_col, planes, "query_id").select(
+    q = _bucket_codes_frame(
+        queries, qid_col, qvec_col, planes, "query_id", quantize=portable
+    ).select(
         "query_id", F.col("__v").alias("qv"), _norm_expr("__v").alias("qn"),
         F.posexplode("__codes").alias("tbl", "bucket"),
     )

@@ -51,6 +51,7 @@ PAST_WINDOW_ORACLE_QUERIES = [
     "simhash_portable",
     "stream_interval_join",
     "quantile_filter",
+    "lsh_portable",
 ]
 
 

@@ -338,3 +338,44 @@ def test_brute_force_topk_keeps_narrow_id_types(spark):
     out = sim.brute_force_topk(corpus, q, k=3)
     assert out.schema["query_id"].dataType.simpleString() == "int"
     assert out.count() == 6
+
+
+def test_lsh_portable_matches_numpy_reference(spark):
+    """lsh_topk(portable=True) vs a from-first-principles NumPy
+    reference of the whole pipeline: integer planes, quantized int64
+    bucket codes, (table, code) candidate collisions, exact cosine
+    re-rank — the same arithmetic the lsh_portable DuckDB oracle runs
+    in SQL."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    nt, nb = 4, 8
+    out = sim.lsh_topk(spark, emb, q, k=5, nbits=nb, ntables=nt, portable=True)
+    got = [(r.query_id, r.rank, r.vec_id, r.cosine) for r in out.collect()]
+
+    pdf = emb.toPandas().sort_values("vec_id")
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf.embedding])
+    ids = pdf.vec_id.to_numpy()
+    dim = V.shape[1]
+    P = sim._portable_planes(dim, nb, nt)
+    Vq = np.floor(V * 1000.0 + 0.5).astype(np.int64)
+    dots = np.einsum("tbd,nd->ntb", P, Vq)
+    codes = ((dots > 0) * (1 << np.arange(nb, dtype=np.int64))).sum(axis=2)
+    norm = np.sqrt((V * V).sum(axis=1))
+    exp = []
+    for qi in np.flatnonzero(ids < 4):
+        cand = set()
+        for t in range(nt):
+            cand.update(np.flatnonzero(codes[:, t] == codes[qi, t]).tolist())
+        # sequential per-dimension fold, matching the Arrow scorer
+        scored = []
+        for ci in sorted(cand):
+            acc = 0.0
+            for d in range(dim):
+                acc += V[ci, d] * V[qi, d]
+            scored.append((acc / (norm[ci] * norm[qi]), int(ids[ci])))
+        ranked = sorted(scored, key=lambda cv: (-cv[0], cv[1]))[:5]
+        for r, (cos, v) in enumerate(ranked, 1):
+            exp.append((int(ids[qi]), r, v, round(cos, 6)))
+    assert got == sorted(exp, key=lambda x: (x[0], x[1]))
