@@ -746,7 +746,15 @@ def validate_config(conf: dict) -> None:
             raise ValueError(f"stage {name!r}: op {opname!r} needs an 'input' stage")
         args = st.get("args") or {}
         if opname == "union_stages":
-            for ref in args.get("others") or []:
+            others = args.get("others")
+            # a scalar here would TypeError (int) or silently iterate
+            # CHARACTERS (string) — both are config errors, say so
+            if others is not None and not isinstance(others, list):
+                raise ValueError(
+                    f"stage {name!r}: 'others' must be a list of stage "
+                    f"names, got {type(others).__name__}"
+                )
+            for ref in others or []:
                 if ref not in seen:
                     raise ValueError(
                         f"stage {name!r} unions stage {ref!r} before it is defined"

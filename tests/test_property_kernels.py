@@ -220,3 +220,67 @@ def test_simhash_portable_property(texts):
     got = dedup.simhash_batch_portable(texts, 42)
     for d, t in enumerate(texts):
         assert int(got[d]) == ref(t)
+
+
+# ---- declarative-surface fuzz: validate_config must either accept or
+# raise ValueError — never leak a KeyError/TypeError from malformed
+# user YAML (the reference's validation discipline, SURVEY §2.8)
+
+_stage_st = st.fixed_dictionaries(
+    {},
+    optional={
+        "name": st.one_of(st.none(), st.text(max_size=8), st.integers()),
+        "op": st.one_of(
+            st.none(),
+            st.sampled_from(
+                ["read_parquet", "sql", "asof_join", "range_join",
+                 "quantile_filter", "union_stages", "nonsense_op"]
+            ),
+            st.integers(),
+        ),
+        "input": st.one_of(st.none(), st.text(max_size=8)),
+        "args": st.one_of(
+            st.none(),
+            st.dictionaries(
+                st.sampled_from(
+                    ["path", "query", "right", "intervals", "others",
+                     "score_col", "keep_frac", "by", "id_col"]
+                ),
+                st.one_of(st.none(), st.text(max_size=8), st.integers(),
+                          st.lists(st.text(max_size=4), max_size=3)),
+                max_size=4,
+            ),
+        ),
+    },
+)
+
+
+_base_stage = st.just(
+    {"name": "base", "op": "read_parquet", "args": {"path": "/x"}}
+)
+
+
+@given(conf=st.one_of(
+    st.dictionaries(st.text(max_size=6), st.integers(), max_size=2),
+    st.fixed_dictionaries({"stages": st.lists(_stage_st, max_size=4)}),
+    # a VALID first stage so later stages reach the deep branches
+    # (ref checks, required args) instead of failing on input wiring
+    st.builds(
+        lambda base, rest: {"stages": [base] + rest},
+        _base_stage,
+        st.lists(
+            _stage_st.map(
+                lambda d: {**d, "input": "base"} if d.get("op") else d
+            ),
+            max_size=3,
+        ),
+    ),
+))
+@settings(max_examples=200, deadline=None)
+def test_validate_config_never_crashes(conf):
+    from gelos_spark.plans import config as cfg
+
+    try:
+        cfg.validate_config(conf)
+    except ValueError:
+        pass  # the only permitted failure mode
