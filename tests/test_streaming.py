@@ -206,3 +206,72 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
         and r.ts <= l.ts
     )
     assert got == exp and len(exp) > 0
+
+
+def test_stream_interval_join_state_survives_restart(spark, tmp_path):
+    """Stateful recovery: a right-side event buffered in run 1's join
+    state must still match a LEFT event that only arrives in run 2
+    (same checkpoint dir, new query). Exactly-once: run 2 must not
+    re-emit run 1's matches. Final output == the batch join over all
+    drops."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    base = pd.Timestamp("2026-01-01 10:00:00")
+    drop1 = pd.DataFrame(
+        [
+            {"event_id": 0, "user_id": 1, "kind": "left", "ts": base},
+            {"event_id": 100, "user_id": 1, "kind": "right",
+             "ts": base - pd.Timedelta(minutes=2)},
+        ]
+    )
+    drop2 = pd.DataFrame(
+        [
+            # matches the RIGHT event buffered during run 1
+            {"event_id": 1, "user_id": 1, "kind": "left",
+             "ts": base + pd.Timedelta(minutes=5)},
+            {"event_id": 101, "user_id": 1, "kind": "right",
+             "ts": base + pd.Timedelta(minutes=4)},
+        ]
+    )
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    spark.createDataFrame(drop1).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        lhs = stream.where("kind = 'left'").select(
+            F.col("event_id").alias("lid"), "user_id", "ts"
+        )
+        rhs = stream.where("kind = 'right'").select(
+            F.col("event_id").alias("rid"), "user_id", "ts"
+        )
+        joined = ingest.stream_interval_join(
+            lhs, rhs, on="ts", by="user_id",
+            lookback="10 minutes", watermark="30 minutes",
+        ).select("lid", "rid_r")
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    after1 = {(r.lid, r.rid_r) for r in spark.read.parquet(sink).collect()}
+    assert after1 == {(0, 100)}
+
+    spark.createDataFrame(drop2).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    after2 = sorted(
+        (r.lid, r.rid_r) for r in spark.read.parquet(sink).collect()
+    )
+    # lid=1 matched BOTH the run-1-buffered right (100) and the new
+    # right (101): state crossed the restart; (0, 100) appears ONCE
+    assert after2 == [(0, 100), (1, 100), (1, 101)]
