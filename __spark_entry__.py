@@ -2064,6 +2064,69 @@ def _lsh_portable(spark, sf_dir):
 
 
 @_q(
+    "ivf_portable",
+    # IVF list-probing under a DuckDB oracle (similarity.ivf_index +
+    # ivf_topk, quantize=True): centroids = the quantized first-16
+    # corpus vectors (deterministic, training-free); assignment and
+    # probe selection score by exact-integer dot / |c| — integer
+    # products are exact, sqrt/div correctly rounded, ties to lowest
+    # cid — so list membership, probed lists, candidates, and the
+    # ranked exact-cosine output all reproduce in SQL. With
+    # minhash/simhash/lsh_portable this puts ALL FOUR candidate
+    # generators under pipeline-shape oracles; Lloyd-trained float
+    # centroids stay the production default (ivf_topk_full_probe
+    # pins probe+scoring vs brute force in the driver window).
+    # Past-window (slots full), verified by check_oracle +
+    # test_past_window_oracles.
+    "WITH vq AS (SELECT vec_id, embedding, list_transform(embedding, x -> "
+    "CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS iq FROM embeddings), "
+    "cents AS (SELECT vec_id AS cid, iq, "
+    "sqrt(list_sum(list_transform(iq, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cn "
+    "FROM vq WHERE vec_id < 16), "
+    "sc AS (SELECT v.vec_id, c.cid, "
+    "CAST(list_sum(list_transform(list_zip(v.iq, c.iq), p -> "
+    "CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT))) AS DOUBLE) / c.cn AS score "
+    "FROM vq v CROSS JOIN cents c), "
+    "assign AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, "
+    "row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn FROM sc) "
+    "WHERE rn = 1), "
+    "qprobe AS (SELECT vec_id AS query_id, cid FROM (SELECT vec_id, cid, "
+    "row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn FROM sc "
+    "WHERE vec_id < 5) WHERE rn <= 4), "
+    "cand AS (SELECT DISTINCT q.query_id, a.vec_id "
+    "FROM qprobe q JOIN assign a ON a.cid = q.cid), "
+    "d AS (SELECT cand.query_id, cand.vec_id, "
+    "list_sum(list_transform(list_zip(cv.embedding, qv.embedding), p -> "
+    "CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / ("
+    "sqrt(list_sum(list_transform(cv.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+    "sqrt(list_sum(list_transform(qv.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine "
+    "FROM cand JOIN vq cv ON cv.vec_id = cand.vec_id "
+    "JOIN vq qv ON qv.vec_id = cand.query_id), "
+    "r AS (SELECT query_id, vec_id, cosine, CAST(row_number() OVER ("
+    "PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank FROM d) "
+    "SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine FROM r "
+    "WHERE rank <= 10 ORDER BY query_id, rank",
+)
+def _ivf_portable(spark, sf_dir):
+    import numpy as np
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    cpdf = emb.where(F.col("vec_id") < 16).orderBy("vec_id").toPandas()
+    cents = np.floor(
+        np.stack([np.asarray(v, dtype=np.float64) for v in cpdf.embedding]) * 1000.0
+        + 0.5
+    ).astype(np.int64)
+    index = similarity.ivf_index(emb, cents, quantize=True)
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.ivf_topk(
+        spark, index, cents, q, k=10, nprobe=4, quantize=True
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@_q(
     "quantile_filter",
     # per-group quantile gate (functions/sampling.quantile_filter):
     # keep the 30% longest documents per language — the

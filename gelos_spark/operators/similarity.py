@@ -473,7 +473,11 @@ def _cogroup_block_scored(
 
 
 def _assign_frame(
-    df: DataFrame, id_col: str, vec_col: str, centroids: np.ndarray
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: np.ndarray,
+    quantize: bool = False,
 ) -> DataFrame:
     """(id, vec) -> (vec_id, cv, cid) with the nearest-centroid (by
     cosine) list id, computed in ``mapInArrow``: the vector column is
@@ -484,8 +488,20 @@ def _assign_frame(
     family's last per-row input stack)."""
     import pyarrow as pa
 
-    cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
-    dim = cn.shape[1]
+    if quantize:
+        # portable path: centroids are an INTEGER matrix; score =
+        # exact-int dot / |c| — integer products are exact and
+        # sqrt/division are correctly rounded, so the score doubles
+        # (and the argmax, ties to the LOWEST cid like SQL's
+        # row_number ORDER BY score DESC, cid) agree across engines
+        cq = centroids.astype(np.int64)
+        cnorm = np.sqrt((cq.astype(np.float64) ** 2).sum(axis=1))
+        dim = cq.shape[1]
+    else:
+        cn = centroids / np.maximum(
+            np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+        )
+        dim = cn.shape[1]
     idt = df.schema[id_col].dataType.simpleString()
     vt = df.schema[vec_col].dataType.simpleString()
     src = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"))
@@ -495,8 +511,13 @@ def _assign_frame(
             if b.num_rows == 0:
                 continue
             m = _list_matrix(b.column("cv"), b.num_rows, dim)
-            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-            cid = np.argmax(mn @ cn.T, axis=1).astype(np.int32)
+            if quantize:
+                mq = np.floor(m * 1000.0 + 0.5).astype(np.int64)
+                scores = (mq @ cq.T).astype(np.float64) / cnorm[None, :]
+                cid = np.argmax(scores, axis=1).astype(np.int32)
+            else:
+                mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+                cid = np.argmax(mn @ cn.T, axis=1).astype(np.int32)
             yield pa.RecordBatch.from_arrays(
                 [b.column("vec_id"), b.column("cv"), pa.array(cid)],
                 names=["vec_id", "cv", "cid"],
@@ -587,11 +608,14 @@ def ivf_index(
     centroids: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize: bool = False,
 ) -> DataFrame:
     """Attach the inverted-list id: (vec_id, cv, cn, cid). At scale
     this is the table you persist bucketed by cid — probes touch only
-    nprobe lists instead of the full corpus."""
-    return _assign_frame(corpus, id_col, vec_col, centroids).select(
+    nprobe lists instead of the full corpus. ``quantize=True`` takes
+    INTEGER centroids and assigns by exact-integer scoring (the
+    ``ivf_portable`` oracle path, see _assign_frame)."""
+    return _assign_frame(corpus, id_col, vec_col, centroids, quantize=quantize).select(
         "vec_id", "cv", _norm_expr("cv").alias("cn"), "cid"
     )
 
@@ -606,6 +630,7 @@ def ivf_topk(
     qid_col: str = "query_id",
     qvec_col: str = "embedding",
     collect_queries: bool = True,
+    quantize: bool = False,
 ) -> DataFrame:
     """IVF probe: each query scans only its nprobe nearest inverted
     lists, exact cosine re-rank inside them. Output schema matches
@@ -628,9 +653,21 @@ def ivf_topk(
         F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("qv")
     ).toPandas()
     qm = np.stack([np.asarray(v, dtype=np.float64) for v in qpdf["qv"]])
-    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
-    cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
-    order = np.argsort(-(qn @ cn.T), axis=1)[:, :nprobe]  # [Q, nprobe]
+    if quantize:
+        # portable probe selection: same exact-integer scoring as the
+        # quantized assignment; stable sort keeps the LOWEST cid on
+        # score ties, matching SQL row_number (score DESC, cid)
+        cq = centroids.astype(np.int64)
+        cnorm = np.sqrt((cq.astype(np.float64) ** 2).sum(axis=1))
+        qq = np.floor(qm * 1000.0 + 0.5).astype(np.int64)
+        scores = (qq @ cq.T).astype(np.float64) / cnorm[None, :]
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
+    else:
+        qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+        cn = centroids / np.maximum(
+            np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+        )
+        order = np.argsort(-(qn @ cn.T), axis=1)[:, :nprobe]  # [Q, nprobe]
     probes = pd.DataFrame(
         {
             # keep native Python values (np scalars break inference-free

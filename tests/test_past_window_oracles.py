@@ -52,6 +52,7 @@ PAST_WINDOW_ORACLE_QUERIES = [
     "stream_interval_join",
     "quantile_filter",
     "lsh_portable",
+    "ivf_portable",
 ]
 
 

@@ -379,3 +379,49 @@ def test_lsh_portable_matches_numpy_reference(spark):
         for r, (cos, v) in enumerate(ranked, 1):
             exp.append((int(ids[qi]), r, v, round(cos, 6)))
     assert got == sorted(exp, key=lambda x: (x[0], x[1]))
+
+
+def test_ivf_portable_matches_numpy_reference(spark):
+    """ivf_index/ivf_topk(quantize=True) vs a from-first-principles
+    NumPy reference: integer centroids (quantized first-C corpus
+    vectors), exact-integer assignment + probe scoring with
+    lowest-cid ties, candidates from probed lists, exact cosine
+    re-rank — the arithmetic the ivf_portable DuckDB oracle runs."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    C, nprobe, k = 8, 3, 5
+    cpdf = emb.where(F.col("vec_id") < C).orderBy("vec_id").toPandas()
+    cents = np.floor(
+        np.stack([np.asarray(v, dtype=np.float64) for v in cpdf.embedding]) * 1000.0
+        + 0.5
+    ).astype(np.int64)
+    index = sim.ivf_index(emb, cents, quantize=True)
+    q = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim.ivf_topk(spark, index, cents, q, k=k, nprobe=nprobe, quantize=True)
+    got = [(r.query_id, r.rank, r.vec_id, r.cosine) for r in out.collect()]
+
+    pdf = emb.toPandas().sort_values("vec_id")
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf.embedding])
+    ids = pdf.vec_id.to_numpy()
+    Vq = np.floor(V * 1000.0 + 0.5).astype(np.int64)
+    cnorm = np.sqrt((cents.astype(np.float64) ** 2).sum(axis=1))
+    scores = (Vq @ cents.T).astype(np.float64) / cnorm[None, :]
+    cid = scores.argmax(axis=1)
+    norm = np.sqrt((V * V).sum(axis=1))
+    exp = []
+    for qi in np.flatnonzero(ids < 4):
+        order = np.argsort(-scores[qi], kind="stable")[:nprobe]
+        probed = set(int(c) for c in order)
+        scored = []
+        for ci in range(len(ids)):
+            if int(cid[ci]) not in probed:
+                continue
+            acc = 0.0
+            for d in range(V.shape[1]):
+                acc += V[ci, d] * V[qi, d]
+            scored.append((acc / (norm[ci] * norm[qi]), int(ids[ci])))
+        ranked = sorted(scored, key=lambda cv: (-cv[0], cv[1]))[:k]
+        for r, (cos, v) in enumerate(ranked, 1):
+            exp.append((int(ids[qi]), r, v, round(cos, 6)))
+    assert got == sorted(exp, key=lambda x: (x[0], x[1]))
