@@ -323,6 +323,8 @@ def _op_minhash_pairs(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFr
         # config author can demand `checkpoint: reliable` so the pair
         # set survives executor loss on a real cluster
         checkpoint=conf.get("checkpoint", True),
+        # SQL-reproducible kernel (the minhash_portable oracle path)
+        portable=bool(conf.get("portable", False)),
     )
 
 
@@ -337,6 +339,8 @@ def _op_simhash_pairs(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFr
         max_hamming=int(conf.get("max_hamming", 3)),
         seed=int(conf.get("seed", 42)),
         checkpoint=conf.get("checkpoint", True),
+        # SQL-reproducible kernel (the simhash_portable oracle path)
+        portable=bool(conf.get("portable", False)),
     )
 
 
@@ -464,6 +468,8 @@ def _op_ann_topk(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
             nbits=int(conf.get("nbits", 12)), ntables=int(conf.get("ntables", 6)),
             seed=seed, id_col=id_col, vec_col=vec_col,
             qid_col=id_col, qvec_col=vec_col,
+            # SQL-reproducible planes (the lsh_portable oracle path)
+            portable=bool(conf.get("portable", False)),
         )
     if method == "ivf":
         cents = similarity.ivf_train(

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import pytest
 import yaml
+from pyspark.sql import functions as F
 
 from gelos_spark.plans import config as cfg
 
@@ -402,6 +403,19 @@ def test_simhash_and_ann_config_ops(spark, tmp_path):
                 "input": "emb",
                 "args": {"k": 5, "method": "brute", "query_ids": [0, 1, 2, 3]},
             },
+            {
+                "name": "ann_port",
+                "op": "ann_topk",
+                "input": "emb",
+                "args": {"k": 5, "query_ids": [0, 1, 2, 3], "ntables": 4,
+                         "nbits": 8, "portable": True},
+            },
+            {
+                "name": "sh_port",
+                "op": "simhash_pairs",
+                "input": "docs",
+                "args": {"max_hamming": 3, "portable": True},
+            },
         ],
     }
     pipe = cfg.build_pipeline(spark, conf, root=str(tmp_path / "run"))
@@ -416,7 +430,23 @@ def test_simhash_and_ann_config_ops(spark, tmp_path):
     score_match = ann.join(exact, ["query_id", "vec_id", "cosine"]).count()
     assert score_match == overlap
     assert overlap >= 0.4 * exact.count()
-    assert pipe.log.lineage("simann").where("status = 'done'").count() == 5
+    # portable flags reach the kernels: declarative == direct call
+    from gelos_spark.operators import dedup as _dd
+    from gelos_spark.operators import similarity as _sim
+
+    emb = pipe.output("emb")
+    q = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    direct = _sim.lsh_topk(spark, emb, q, k=5, nbits=8, ntables=4, portable=True)
+    assert sorted(map(tuple, pipe.output("ann_port").collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    direct_sh = _dd.simhash_pairs(pipe.output("docs"), max_hamming=3, portable=True)
+    assert sorted(map(tuple, pipe.output("sh_port").collect())) == sorted(
+        map(tuple, direct_sh.collect())
+    )
+    assert pipe.log.lineage("simann").where("status = 'done'").count() == 7
 
 
 def test_ann_topk_ivf_method(spark, tmp_path):
