@@ -496,6 +496,16 @@ def _assign_frame(
         # row_number ORDER BY score DESC, cid) agree across engines
         cq = centroids.astype(np.int64)
         cnorm = np.sqrt((cq.astype(np.float64) ** 2).sum(axis=1))
+        if (cnorm == 0).any():
+            # an all-zero quantized centroid would divide to NaN and
+            # swallow the whole corpus into one list — and DuckDB's
+            # 0/0 semantics differ, breaking the cross-engine
+            # agreement the quantize path exists for. Fail loudly.
+            raise ValueError(
+                "quantize=True: centroid(s) with all-zero quantization "
+                f"(rows {np.flatnonzero(cnorm == 0).tolist()}) — scale up "
+                "the vectors or drop degenerate centroids"
+            )
         dim = cq.shape[1]
     else:
         cn = centroids / np.maximum(
@@ -646,6 +656,15 @@ def ivf_topk(
     full-table ANN self-search). Identical results either way."""
     nprobe = min(nprobe, len(centroids))
     if not collect_queries:
+        if quantize:
+            # the distributed probe scores with float centroid math —
+            # silently falling back would diverge from the quantized
+            # assignment and the ivf_portable oracle
+            raise ValueError(
+                "ivf_topk: quantize=True requires collect_queries=True "
+                "(the portable path is a verification surface for "
+                "request-sized query sets)"
+            )
         return _ivf_topk_distributed(
             spark, index, centroids, queries, k, nprobe, qid_col, qvec_col
         )
@@ -659,6 +678,11 @@ def ivf_topk(
         # score ties, matching SQL row_number (score DESC, cid)
         cq = centroids.astype(np.int64)
         cnorm = np.sqrt((cq.astype(np.float64) ** 2).sum(axis=1))
+        if (cnorm == 0).any():
+            raise ValueError(
+                "quantize=True: centroid(s) with all-zero quantization "
+                f"(rows {np.flatnonzero(cnorm == 0).tolist()})"
+            )
         qq = np.floor(qm * 1000.0 + 0.5).astype(np.int64)
         scores = (qq @ cq.T).astype(np.float64) / cnorm[None, :]
         order = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]

@@ -472,12 +472,38 @@ def _op_ann_topk(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
             portable=bool(conf.get("portable", False)),
         )
     if method == "ivf":
-        cents = similarity.ivf_train(
-            df, n_centroids=int(conf.get("n_centroids", 16)),
-            iters=int(conf.get("iters", 3)), seed=seed,
-            id_col=id_col, vec_col=vec_col,
+        n_cents = int(conf.get("n_centroids", 16))
+        portable = bool(conf.get("portable", False))
+        if portable:
+            # the SQL-reproducible path (ivf_portable oracle):
+            # training-free integer centroids — the quantized first
+            # n_centroids corpus vectors by id order — and exact-int
+            # scoring; request-sized query sets only (the quantized
+            # probe collects)
+            if not qids:
+                raise ValueError(
+                    "ann_topk: method 'ivf' with portable: true needs "
+                    "query_ids (the portable probe is a request-sized "
+                    "verification surface; use the Lloyd path for "
+                    "corpus self-search)"
+                )
+            import numpy as np
+
+            cpdf = df.orderBy(id_col).limit(n_cents).select(vec_col).toPandas()
+            cents = np.floor(
+                np.stack([np.asarray(v, dtype=np.float64) for v in cpdf[vec_col]])
+                * 1000.0
+                + 0.5
+            ).astype(np.int64)
+        else:
+            cents = similarity.ivf_train(
+                df, n_centroids=n_cents,
+                iters=int(conf.get("iters", 3)), seed=seed,
+                id_col=id_col, vec_col=vec_col,
+            )
+        index = similarity.ivf_index(
+            df, cents, id_col=id_col, vec_col=vec_col, quantize=portable
         )
-        index = similarity.ivf_index(df, cents, id_col=id_col, vec_col=vec_col)
         return similarity.ivf_topk(
             spark, index, cents, queries, k=k,
             nprobe=int(conf.get("nprobe", 4)),
@@ -485,6 +511,7 @@ def _op_ann_topk(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
             # request-sized query sets collect; corpus self-search stays
             # distributed end-to-end
             collect_queries=bool(qids),
+            quantize=portable,
         )
     raise ValueError(f"ann_topk method must be 'lsh', 'ivf', or 'brute', got {method!r}")
 
@@ -578,9 +605,12 @@ def _op_asof_join(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
 @op("sql", required=("query",), needs_input=True)
 def _op_sql(spark: SparkSession, pipe: Pipeline, conf: dict) -> DataFrame:
     """Ad-hoc SQL stage: one SELECT over the input stage, referenced
-    as ``{df}`` or the ``__input__`` temp view — the declarative
-    escape hatch for projections/derivations no dedicated op covers
-    (still a single Catalyst plan; no Python in the loop)."""
+    as ``{df}`` or the ``__input__`` identifier (rewritten to the
+    ``{df}`` formatter marker — the DataFrame binds through
+    spark.sql's parameterized path, never a session temp view that
+    could clobber a caller's) — the declarative escape hatch for
+    projections/derivations no dedicated op covers (still a single
+    Catalyst plan; no Python in the loop)."""
     import re as _re
 
     q = conf["query"]
@@ -736,21 +766,36 @@ def validate_config(conf: dict) -> None:
     """Fail fast with the reference's validation discipline (unknown
     band -> ValueError, gelos/gelosdataset.py:61-68): unknown op or
     missing input wiring is a config error, not a runtime surprise."""
-    if "stages" not in conf or not isinstance(conf["stages"], list):
+    if not isinstance(conf, dict) or "stages" not in conf or not isinstance(conf["stages"], list):
         raise ValueError("config needs a 'stages' list")
     seen: set[str] = set()
     for st in conf["stages"]:
+        # every malformed shape must surface as ValueError — never a
+        # raw TypeError/AttributeError traceback (contract fuzzed in
+        # tests/test_property_kernels.py)
+        if not isinstance(st, dict):
+            raise ValueError(f"stage entries must be mappings, got {type(st).__name__}: {st!r}")
         name, opname = st.get("name"), st.get("op")
         if not name or not opname:
             raise ValueError(f"stage needs 'name' and 'op': {st}")
-        if opname not in _OPS:
+        if not isinstance(name, str):
+            raise ValueError(f"stage name must be a string, got {type(name).__name__}")
+        if not isinstance(opname, str) or opname not in _OPS:
             raise ValueError(f"unknown op {opname!r}; registered: {registered_ops()}")
         inp = st.get("input")
+        if inp is not None and not isinstance(inp, str):
+            raise ValueError(
+                f"stage {name!r}: 'input' must be a stage name, got {type(inp).__name__}"
+            )
         if inp is not None and inp not in seen:
             raise ValueError(f"stage {name!r} wires input {inp!r} before it is defined")
         if _OP_NEEDS_INPUT.get(opname) and inp is None:
             raise ValueError(f"stage {name!r}: op {opname!r} needs an 'input' stage")
         args = st.get("args") or {}
+        if not isinstance(args, dict):
+            raise ValueError(
+                f"stage {name!r}: 'args' must be a mapping, got {type(args).__name__}"
+            )
         if opname == "union_stages":
             others = args.get("others")
             # a scalar here would TypeError (int) or silently iterate
@@ -766,12 +811,20 @@ def validate_config(conf: dict) -> None:
                         f"stage {name!r} unions stage {ref!r} before it is defined"
                     )
         ref_arg = {"asof_join": "right", "range_join": "intervals"}.get(opname)
-        if ref_arg is not None and args.get(ref_arg) is not None and args[ref_arg] not in seen:
-            # a MISSING ref falls through to the required-args error
-            # below instead of a misleading "joins stage None"
-            raise ValueError(
-                f"stage {name!r} joins stage {args[ref_arg]!r} before it is defined"
-            )
+        if ref_arg is not None and args.get(ref_arg) is not None:
+            ref = args[ref_arg]
+            # a non-string ref (list, dict) would TypeError on the set
+            # lookup; a MISSING ref falls through to the required-args
+            # error below instead of a misleading "joins stage None"
+            if not isinstance(ref, str):
+                raise ValueError(
+                    f"stage {name!r}: {ref_arg!r} must be a stage name, "
+                    f"got {type(ref).__name__}"
+                )
+            if ref not in seen:
+                raise ValueError(
+                    f"stage {name!r} joins stage {ref!r} before it is defined"
+                )
         # an explicit `key: null` in YAML is as missing as an absent key
         missing = [k for k in _OP_REQUIRED.get(opname, ()) if args.get(k) is None]
         if missing:

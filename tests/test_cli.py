@@ -129,8 +129,9 @@ def test_shipped_training_data_config_runs_end_to_end(spark, tmp_path):
     assert 0 < gated < n_feats
 
     # docs branch: the survivors stage keeps one doc per duplicate
-    # CLUSTER — pinned against a union-find over the committed pairs
-    n_docs = pipe.output("docs").count()
+    # CLUSTER of the GATED corpus (the quality gate feeds dedup) —
+    # pinned against a union-find over the committed pairs
+    n_docs = pipe.output("gated").count()
     parent = {}
 
     def _find(x):

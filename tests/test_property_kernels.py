@@ -229,7 +229,8 @@ def test_simhash_portable_property(texts):
 _stage_st = st.fixed_dictionaries(
     {},
     optional={
-        "name": st.one_of(st.none(), st.text(max_size=8), st.integers()),
+        "name": st.one_of(st.none(), st.text(max_size=8), st.integers(),
+                          st.lists(st.text(max_size=3), max_size=2)),
         "op": st.one_of(
             st.none(),
             st.sampled_from(
@@ -238,9 +239,11 @@ _stage_st = st.fixed_dictionaries(
             ),
             st.integers(),
         ),
-        "input": st.one_of(st.none(), st.text(max_size=8)),
+        "input": st.one_of(st.none(), st.text(max_size=8),
+                           st.lists(st.text(max_size=3), max_size=2)),
         "args": st.one_of(
             st.none(),
+            st.integers(),  # non-dict args must ValueError, not crash
             st.dictionaries(
                 st.sampled_from(
                     ["path", "query", "right", "intervals", "others",
@@ -262,7 +265,10 @@ _base_stage = st.just(
 
 @given(conf=st.one_of(
     st.dictionaries(st.text(max_size=6), st.integers(), max_size=2),
-    st.fixed_dictionaries({"stages": st.lists(_stage_st, max_size=4)}),
+    # non-dict stage entries must ValueError, not AttributeError
+    st.fixed_dictionaries(
+        {"stages": st.lists(st.one_of(_stage_st, st.text(max_size=4), st.integers()), max_size=4)}
+    ),
     # a VALID first stage so later stages reach the deep branches
     # (ref checks, required args) instead of failing on input wiring
     st.builds(
