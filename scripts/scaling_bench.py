@@ -205,6 +205,15 @@ def main():
 
         os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
         md = os.path.join(REPO, "BENCH", "BASELINE.md")
+        # PRESERVE the hand-curated sections (cross-round history,
+        # skew demo, provenance — "## 4." onward): rewriting the whole
+        # file forced a manual re-append from git history after every
+        # run. Sections 1-3 (the fresh measurements) still regenerate.
+        manual = ""
+        if os.path.exists(md):
+            prev = open(md).read()
+            if "\n## 4." in prev:
+                manual = prev[prev.index("\n## 4.") + 1:]
         with open(md, "w") as f:
             f.write(
                 f"""# Scaling benchmark — N vs 4N parallelism (north-rule criterion)
@@ -298,6 +307,8 @@ staged efficiency (disk-bound): {seff:.3f}
                 f"Assigned rows: pairs A0/A {a_lo['assigned_rows']:,}, "
                 f"pair B {b_lo['assigned_rows']:,}\n"
             )
+            if manual:
+                f.write("\n" + manual)
         print(
             json.dumps(
                 {
