@@ -168,8 +168,8 @@ def knn_join(
     identical either way (both exact, ties broken by id). Set
     ``brute_force_pairs=0`` to force the ring path.
     """
+    n_hint = n_tiles_hint if n_tiles_hint is not None else tiles.count()
     if res is None:
-        n_hint = n_tiles_hint if n_tiles_hint is not None else tiles.count()
         res = default_res(n_hint)
     n_grid = 1 << res
 
@@ -198,6 +198,44 @@ def knn_join(
     shell_schema, straggler_schema, out_schema = _schemas(_qid_type(queries, q))
     if len(q) == 0:
         return spark.createDataFrame([], out_schema)
+
+    w = Window.partitionBy("query_id").orderBy(F.col("dist_km").asc(), F.col("image_id").asc())
+    from gelos_spark.plans.materialize import finalize
+
+    if n_hint * len(q) <= brute_force_pairs:
+        # small input: the cost model (previously evaluated only AFTER
+        # a full cell-encode + persist + stats aggregate) says one
+        # exact brute pass beats ring expansion — so take it directly:
+        # no cell column, no persist, no density aggregate (none of
+        # them feed the brute pass), and the top-k window runs ONCE
+        # (re-ranking a single already-ranked frame is the identity).
+        # Decision now keys off n_tiles_hint / count instead of the
+        # measured stats["n"]; both paths are exact, so a stale hint
+        # can only change the plan, never the rows.
+        straggler = spark.createDataFrame(
+            q[["query_id", "lon", "lat", "k"]].rename(
+                columns={"lon": "qlon", "lat": "qlat"}
+            ),
+            straggler_schema,
+        )
+        brute = (
+            tiles.select("image_id", "lon", "lat")
+            .crossJoin(F.broadcast(straggler))
+            .select(
+                "query_id",
+                "k",
+                "image_id",
+                haversine_col(F.col("qlon"), F.col("qlat"), F.col("lon"), F.col("lat")).alias(
+                    "dist_km"
+                ),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= F.col("k"))
+            .select("query_id", "rank", "image_id", "dist_km")
+            .orderBy("query_id", "rank")
+        )
+        return finalize(brute, checkpoint)
+
     q["qcell"] = cells.cell_encode(q["lon"].to_numpy(), q["lat"].to_numpy(), res)
 
     tiles_c = (
@@ -220,11 +258,11 @@ def knn_join(
     )
 
     if stats["n"] * len(q) <= brute_force_pairs:
-        # small input: zero ring rounds -> every query falls through to
-        # the exact brute-force straggler pass below
+        # small input (reachable only when n_tiles_hint overestimated):
+        # zero ring rounds -> every query falls through to the exact
+        # brute-force straggler pass below
         max_rounds = 0
 
-    w = Window.partitionBy("query_id").orderBy(F.col("dist_km").asc(), F.col("image_id").asc())
     topk: DataFrame | None = None  # accumulated per-query top-k so far
     finalized: list[DataFrame] = []
     persisted: list[DataFrame] = []
