@@ -133,26 +133,55 @@ def image_row(i: int, w: int, h: int, seed: int) -> dict:
 
 def images_df(spark: SparkSession, n: int, w: int = 64, seed: int = 42, parts: int | None = None) -> DataFrame:
     """Distributed images table: spark.range -> mapInArrow (payload
-    work never touches the driver)."""
+    work never touches the driver). Row values are identical to
+    ``image_row`` per id (pinned by tests), but the per-id scalar work
+    image_row repeats — tracker_coords / lulc-hash on 1-element arrays
+    — runs once per BATCH here, and the lossless formats skip the
+    encode->decode round trip before phash (decode(encode(px)) == px
+    for raw/png by the codec's lossless contract, so the hash input is
+    bit-identical). ~2x less Python per image; the remaining loop is
+    the per-image Philox draw + codec, which are keyed per id."""
     h = w
 
     def gen(batches):
         for batch in batches:
             ids = batch.column("id").to_numpy()
-            rows = [image_row(int(i), w, h, seed) for i in ids]
-            yield pa.RecordBatch.from_pandas(
-                pd.DataFrame(rows), schema=pa.schema(
-                    [
-                        ("image_id", pa.string()),
-                        ("bytes", pa.binary()),
-                        ("w", pa.int32()),
-                        ("h", pa.int32()),
-                        ("fmt", pa.string()),
-                        ("caption", pa.string()),
-                        ("phash", pa.int64()),
-                    ]
-                ),
-                preserve_index=False,
+            if len(ids) == 0:
+                continue
+            u64 = ids.astype(np.uint64)
+            lon, lat = tracker_coords(u64, seed)
+            # image_row's ``hash % 5`` mixes a uint64 SCALAR with a
+            # Python int, which NumPy promotes to float64 — reproduce
+            # that exact (precision-lossy) semantics batch-wise, or
+            # lulc diverges from the pinned per-row values
+            lulc_i = (
+                _splitmix64(u64 ^ np.uint64(seed + 17)).astype(np.float64) % 5
+            ).astype(np.int64)
+            image_ids, blobs, fmts, captions, phashes = [], [], [], [], []
+            for j, i in enumerate(ids):
+                i = int(i)
+                fmt = codec.FORMATS[i % 3]
+                px = _image_pixels(i, w, h, seed)
+                encoded = codec.encode(px, fmt)
+                decoded = px if fmt in ("raw", "png") else codec.decode(encoded, fmt, w, h)
+                image_ids.append(f"img{i:010d}")
+                blobs.append(encoded)
+                fmts.append(fmt)
+                captions.append(
+                    f"{LULC[int(lulc_i[j])]} tile at {lat[j]:.4f},{lon[j]:.4f} #{i}"
+                )
+                phashes.append(codec.phash64(decoded))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(image_ids, type=pa.string()),
+                    pa.array(blobs, type=pa.binary()),
+                    pa.array(np.full(len(ids), w, dtype=np.int32)),
+                    pa.array(np.full(len(ids), h, dtype=np.int32)),
+                    pa.array(fmts, type=pa.string()),
+                    pa.array(captions, type=pa.string()),
+                    pa.array(np.asarray(phashes, dtype=np.int64)),
+                ],
+                names=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"],
             )
 
     rng_df = spark.range(0, n, 1, parts or max(8, n // 4096))
