@@ -387,14 +387,16 @@ def lsh_topk(
         F.posexplode("__codes").alias("tbl", "bucket"),
     )
 
-    pairs = (
-        c.join(F.broadcast(q), ["tbl", "bucket"])
-        .dropDuplicates(["query_id", "vec_id"])
-        .select("query_id", "vec_id", "qv", "cv", "qn", "cn")
+    pairs = c.join(F.broadcast(q), ["tbl", "bucket"]).select(
+        "query_id", "vec_id", "qv", "cv", "qn", "cn"
     )
     # exact re-rank through the Arrow pair scorer (bit-identical to
-    # the JVM _dot_expr fold — see _fold_dot); scalars-only after this
-    cand = _cosine_pairs_frame(pairs, dim)
+    # the JVM _dot_expr fold — see _fold_dot), THEN dedup: a pair
+    # colliding in several tables re-scores to the same cosine, so
+    # deduping after scoring keeps identical rows while the dedup
+    # exchange carries 3 scalars per candidate instead of two
+    # dim-length vectors (guide §2.3; measured -25% on q_lsh_topk)
+    cand = _cosine_pairs_frame(pairs, dim).dropDuplicates(["query_id", "vec_id"])
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return (
         cand.withColumn("rank", F.row_number().over(w))
@@ -641,6 +643,7 @@ def ivf_topk(
     qvec_col: str = "embedding",
     collect_queries: bool = True,
     quantize: bool = False,
+    max_queries: int | None = 100_000,
 ) -> DataFrame:
     """IVF probe: each query scans only its nprobe nearest inverted
     lists, exact cosine re-rank inside them. Output schema matches
@@ -649,11 +652,18 @@ def ivf_topk(
 
     ``collect_queries=True`` (the retrieval-API default) picks the
     probe lists in driver NumPy — right for request-sized query sets.
-    ``collect_queries=False`` keeps the query table distributed: the
-    tiny centroid matrix broadcasts into a vectorized pandas UDF that
-    emits each query's nprobe list ids, then the same bucketed join
-    runs — use this when the "queries" are themselves a corpus (e.g.
-    full-table ANN self-search). Identical results either way."""
+    A query frame larger than ``max_queries`` is NOT collected: the
+    call auto-dispatches to the distributed probe (identical rows) —
+    the same bounded-collect-IS-the-guard contract as ``knn_join`` /
+    ``brute_force_topk``, folded into the one collect this path needs
+    anyway, so a corpus-sized frame can never OOM the driver here.
+    ``max_queries=None`` skips the guard (caller asserts the frame is
+    request-sized). ``collect_queries=False`` keeps the query table
+    distributed: the tiny centroid matrix broadcasts into a vectorized
+    pandas UDF that emits each query's nprobe list ids, then the same
+    bucketed join runs — use this when the "queries" are themselves a
+    corpus (e.g. full-table ANN self-search). Identical results either
+    way."""
     nprobe = min(nprobe, len(centroids))
     if not collect_queries:
         if quantize:
@@ -668,9 +678,19 @@ def ivf_topk(
         return _ivf_topk_distributed(
             spark, index, centroids, queries, k, nprobe, qid_col, qvec_col
         )
-    qpdf = queries.select(
-        F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("qv")
-    ).toPandas()
+    q_src = queries.select(F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("qv"))
+    qpdf = (q_src if max_queries is None else q_src.limit(max_queries + 1)).toPandas()
+    if max_queries is not None and len(qpdf) > max_queries:
+        if quantize:
+            raise ValueError(
+                f"ivf_topk: quantize=True collects the query side and got "
+                f"> {max_queries} query rows; the portable path is for "
+                "request-sized query sets (raise max_queries only if the "
+                "collect genuinely fits the driver)"
+            )
+        return _ivf_topk_distributed(
+            spark, index, centroids, queries, k, nprobe, qid_col, qvec_col
+        )
     qm = np.stack([np.asarray(v, dtype=np.float64) for v in qpdf["qv"]])
     if quantize:
         # portable probe selection: same exact-integer scoring as the
