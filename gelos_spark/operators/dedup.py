@@ -732,9 +732,6 @@ def connected_components(
 
     No reference analog (the reference's dedup is exact-path only —
     SURVEY §2 training-data family)."""
-    spark = pairs.sparkSession
-    idt = pairs.schema[left].dataType.simpleString()
-
     # canonical "down" edges (u > v); self-pairs dropped
     edges = (
         pairs.select(
@@ -758,11 +755,13 @@ def connected_components(
         ).first()
         return (row["n"], row["h"])
 
-    if probe(edges)[0] == 0:
-        return spark.createDataFrame([], f"id {idt}, component {idt}")
-
     from pyspark.sql import Window
 
+    # no pre-loop probe: round 1's fixpoint probe is the first action
+    # (it materializes the initial checkpoint on the way) — one fewer
+    # driver action per call. An empty edge set just converges on the
+    # first probe and falls through to the (empty, correctly-typed)
+    # final aggregate below.
     prev = None
     for _ in range(max_rounds):
         # large-star: for each node u, link every LARGER neighbor v to
@@ -837,7 +836,12 @@ def dedup_near(
     fits)."""
     if keep not in ("all", "canonical"):
         raise ValueError(f"keep must be 'all' or 'canonical', got {keep!r}")
-    comp = connected_components(pairs, left, right, checkpoint=True)
+    # compose the component map lazily: its plan reads the per-round
+    # checkpointed edges anyway (lineage already truncated), so an
+    # eager materialization here would only add a driver action and a
+    # store/reload of the map; Catalyst's EliminateSorts drops the
+    # map's internal orderBy under the join
+    comp = connected_components(pairs, left, right, checkpoint=False)
     out = (
         df.join(comp.withColumnRenamed("id", id_col), id_col, "left")
         .withColumn("component", F.coalesce("component", F.col(id_col)))
